@@ -1,0 +1,203 @@
+"""Functional NN primitives: params are plain pytrees (nested dicts).
+
+Design: every module is (init_fn -> params, apply_fn(params, x) -> y). No
+module classes, no framework — this keeps params trivially shardable with
+`jax.sharding` rules and converters trivially writable.
+
+Numerics match the CLIP/OWL-ViT encoder stack (HF modeling_owlvit.py:375-560):
+pre-LN transformer blocks, quick_gelu MLPs, LN eps 1e-5, attention scale
+applied to Q before the QK product.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# --------------------------------------------------------------------------
+# Elementary ops
+# --------------------------------------------------------------------------
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """CLIP's activation: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU — used by the box head (HF modeling_owlvit.py:1121)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["kernel"].astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def layer_norm(p: dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    # Always reduce in fp32 for bf16 stability, cast back to input dtype.
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def l2_normalize(x: jnp.ndarray, eps_in_denom: float = 0.0) -> jnp.ndarray:
+    n = jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
+    return (x.astype(jnp.float32) / (n + eps_in_denom)).astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
+# Initializers
+# --------------------------------------------------------------------------
+
+
+def init_linear(key, d_in: int, d_out: int, *, bias: bool = True, std=None) -> dict:
+    std = std if std is not None else d_in**-0.5
+    p = {"kernel": jax.random.normal(key, (d_in, d_out), jnp.float32) * std}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def init_layer_norm(dim: int) -> dict:
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+# --------------------------------------------------------------------------
+# Attention
+# --------------------------------------------------------------------------
+
+
+def init_attention(key, dim: int) -> dict:
+    ks = jax.random.split(key, 4)
+    return {
+        "q": init_linear(ks[0], dim, dim),
+        "k": init_linear(ks[1], dim, dim),
+        "v": init_linear(ks[2], dim, dim),
+        "out": init_linear(ks[3], dim, dim),
+    }
+
+
+def attention(
+    p: dict,
+    x: jnp.ndarray,
+    num_heads: int,
+    *,
+    bias: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """Multi-head self-attention. x: [B, S, D]; bias: additive [B, 1|H, S, S].
+
+    impl="flash" routes to the Pallas TPU kernel (ops/flash_attention.py);
+    "xla" uses a plain einsum softmax that XLA fuses well on any backend.
+    """
+    B, S, D = x.shape
+    head_dim = D // num_heads
+    scale = head_dim**-0.5
+
+    q = linear(p["q"], x).reshape(B, S, num_heads, head_dim)
+    k = linear(p["k"], x).reshape(B, S, num_heads, head_dim)
+    v = linear(p["v"], x).reshape(B, S, num_heads, head_dim)
+
+    if impl == "flash":
+        from owlvit_tpu.ops.flash_attention import flash_attention
+
+        o = flash_attention(q, k, v, scale=scale, bias=bias, causal=causal)
+    else:
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+        )
+        if causal:
+            mask = jnp.tril(jnp.ones((S, S), bool))
+            logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+        if bias is not None:
+            logits = logits + bias.astype(logits.dtype)
+        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", w, v)
+
+    return linear(p["out"], o.reshape(B, S, D))
+
+
+# --------------------------------------------------------------------------
+# Transformer encoder (CLIP pre-LN block), scanned over stacked layer params
+# --------------------------------------------------------------------------
+
+
+def init_mlp(key, dim: int, hidden: int) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {"fc1": init_linear(k1, dim, hidden), "fc2": init_linear(k2, hidden, dim)}
+
+
+def mlp(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    return linear(p["fc2"], quick_gelu(linear(p["fc1"], x)))
+
+
+def init_encoder_layer(key, dim: int, hidden: int) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {
+        "ln1": init_layer_norm(dim),
+        "attn": init_attention(k1, dim),
+        "ln2": init_layer_norm(dim),
+        "mlp": init_mlp(k2, dim, hidden),
+    }
+
+
+def init_encoder(key, num_layers: int, dim: int, hidden: int) -> dict:
+    """Stacked layer params: every leaf has a leading [num_layers] axis."""
+    layers = [
+        init_encoder_layer(k, dim, hidden) for k in jax.random.split(key, num_layers)
+    ]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def encoder_block(
+    p: dict,
+    x: jnp.ndarray,
+    num_heads: int,
+    eps: float,
+    *,
+    bias=None,
+    causal: bool = False,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    h = layer_norm(p["ln1"], x, eps)
+    h = attention(p["attn"], h, num_heads, bias=bias, causal=causal, impl=impl)
+    x = x + h
+    h = layer_norm(p["ln2"], x, eps)
+    h = mlp(p["mlp"], h)
+    return x + h
+
+
+def encoder(
+    stacked: dict,
+    x: jnp.ndarray,
+    num_heads: int,
+    eps: float,
+    *,
+    bias=None,
+    causal: bool = False,
+    impl: str = "xla",
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Run the stacked encoder with lax.scan (one trace for all layers)."""
+
+    def body(h, layer_p):
+        return (
+            encoder_block(
+                layer_p, h, num_heads, eps, bias=bias, causal=causal, impl=impl
+            ),
+            None,
+        )
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, stacked)
+    return x
