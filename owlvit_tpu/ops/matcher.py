@@ -1,0 +1,174 @@
+"""Jit-compatible Hungarian matching (DETR-style) — no host round-trip.
+
+The reference ships the cost matrix to the CPU every step and calls SciPy's C
+solver (/root/reference/src/matcher.py:132-137). Here the assignment problem
+is solved ON DEVICE with a Jonker–Volgenant shortest-augmenting-path solver
+expressed in lax control flow, so the whole train step stays inside one XLA
+program. Cost matrices are tiny ([max_gt, num_patches] = [~64, 576]), so the
+sequential scan is negligible next to the ViT forward/backward.
+
+Cost semantics match the reference (matcher.py:106-131):
+    cost = 1 * (-softmax(sims)[*, label])  +  1 * L1(boxes)  +  1 * (-GIoU)
+
+Variable ground-truth counts are handled with fixed-shape padding: invalid GT
+rows get a constant cost row, which provably does not perturb the optimal
+assignment of the valid rows (a constant row contributes the same total no
+matter which column it takes, and columns >= rows).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import boxes as box_ops
+
+_INF = jnp.float32(jnp.inf)
+
+
+def hungarian(cost: jnp.ndarray) -> jnp.ndarray:
+    """Solve min-cost assignment for cost [R, C] with R <= C.
+
+    Returns col4row [R] int32: the column assigned to each row. Matches
+    scipy.optimize.linear_sum_assignment's optimum (total cost; the
+    assignment itself may differ under ties).
+
+    Jonker–Volgenant shortest augmenting path with potentials, one Dijkstra
+    per row; each Dijkstra step is a vectorized scan over all columns.
+    """
+    R, C = cost.shape
+    if R > C:
+        raise ValueError(f"hungarian requires rows <= cols, got {cost.shape}")
+    cost = cost.astype(jnp.float32)
+
+    def assign_row(carry, cur_row):
+        u, v, row4col, col4row = carry
+
+        # --- Dijkstra from cur_row to the nearest unassigned column -------
+        def dij_cond(s):
+            _, _, _, _, _, _, _, done = s
+            return ~done
+
+        def dij_body(s):
+            shortest, pred_row, visited, row_visited, i, min_val, sink, _ = s
+            row_visited = row_visited.at[i].set(True)
+            d = min_val + cost[i] - u[i] - v
+            upd = (~visited) & (d < shortest)
+            shortest = jnp.where(upd, d, shortest)
+            pred_row = jnp.where(upd, i, pred_row)
+            masked = jnp.where(visited, _INF, shortest)
+            j = jnp.argmin(masked)
+            min_val = masked[j]
+            visited = visited.at[j].set(True)
+            nxt = row4col[j]
+            done = nxt < 0
+            sink = jnp.where(done, j, sink)
+            i = jnp.where(done, i, nxt)
+            return (shortest, pred_row, visited, row_visited, i, min_val, sink, done)
+
+        init = (
+            jnp.full((C,), _INF),
+            jnp.full((C,), cur_row, jnp.int32),
+            jnp.zeros((C,), bool),
+            jnp.zeros((R,), bool),
+            cur_row,
+            jnp.float32(0.0),
+            jnp.int32(0),
+            jnp.array(False),
+        )
+        shortest, pred_row, visited, row_visited, _, min_val, sink, _ = (
+            jax.lax.while_loop(dij_cond, dij_body, dij_body(init))
+        )
+
+        # --- Dual potential updates ---------------------------------------
+        u = u.at[cur_row].add(min_val)
+        row_delta = min_val - shortest[jnp.clip(col4row, 0)]
+        other_rows = row_visited & (jnp.arange(R) != cur_row)
+        u = jnp.where(other_rows, u + row_delta, u)
+        v = jnp.where(visited, v - (min_val - shortest), v)
+
+        # --- Augment along the alternating path back from the sink --------
+        def aug_cond(s):
+            _, _, _, done = s
+            return ~done
+
+        def aug_body(s):
+            row4col, col4row, j, _ = s
+            i = pred_row[j]
+            row4col = row4col.at[j].set(i)
+            j_next = col4row[i]
+            col4row = col4row.at[i].set(j)
+            return (row4col, col4row, j_next, i == cur_row)
+
+        row4col, col4row, _, _ = jax.lax.while_loop(
+            aug_cond, aug_body, (row4col, col4row, sink, jnp.array(False))
+        )
+        return (u, v, row4col, col4row), None
+
+    init_carry = (
+        jnp.zeros((R,), jnp.float32),
+        jnp.zeros((C,), jnp.float32),
+        jnp.full((C,), -1, jnp.int32),
+        jnp.full((R,), -1, jnp.int32),
+    )
+    (_, _, _, col4row), _ = jax.lax.scan(
+        assign_row, init_carry, jnp.arange(R, dtype=jnp.int32)
+    )
+    return col4row
+
+
+def cost_matrix(
+    pred_sims: jnp.ndarray,
+    pred_boxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_mask: jnp.ndarray,
+    *,
+    w_class: float = 1.0,
+    w_bbox: float = 1.0,
+    w_giou: float = 1.0,
+) -> jnp.ndarray:
+    """DETR matching cost, per image. Returns [G, P] (rows = GT, transposed
+    relative to the reference's [P, G] — the solver wants rows <= cols).
+
+    pred_sims [P, C] raw similarities; pred_boxes [P, 4] xyxy; gt_labels [G];
+    gt_boxes [G, 4] xyxy; gt_mask [G] bool. Invalid rows are zeroed.
+    """
+    prob = jax.nn.softmax(pred_sims.astype(jnp.float32), axis=-1)  # [P, C]
+    c_class = -prob[:, gt_labels].T  # [G, P]
+    c_bbox = jnp.sum(
+        jnp.abs(gt_boxes[:, None, :] - pred_boxes[None, :, :]), axis=-1
+    )  # [G, P]
+    c_giou = -box_ops.pairwise_giou(gt_boxes, pred_boxes)  # [G, P]
+    cost = w_class * c_class + w_bbox * c_bbox + w_giou * c_giou
+    return jnp.where(gt_mask[:, None], cost, 0.0)
+
+
+def match(
+    pred_sims: jnp.ndarray,
+    pred_boxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_mask: jnp.ndarray,
+    n_classes: int,
+    **cost_weights,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-image matching (vmap over batch for batched training).
+
+    Returns:
+      assigned_patch [G] int32 — patch index matched to each GT (junk where
+        ~gt_mask; callers must mask),
+      target_classes [P] int32 — per-patch class with background = n_classes
+        (the reference's dense target construction, matcher.py:148-158).
+    """
+    C = cost_matrix(pred_sims, pred_boxes, gt_labels, gt_boxes, gt_mask, **cost_weights)
+    assigned = hungarian(C)  # [G]
+    P = pred_boxes.shape[0]
+    target_classes = jnp.full((P,), n_classes, jnp.int32)
+    # Scatter valid GT labels to their matched patches; invalid rows scatter
+    # to a dummy out-of-range index (dropped by scatter's OOB semantics).
+    idx = jnp.where(gt_mask, assigned, P)
+    target_classes = target_classes.at[idx].set(
+        gt_labels.astype(jnp.int32), mode="drop"
+    )
+    return assigned, target_classes
