@@ -1,0 +1,98 @@
+"""Fixed-shape, jit-compatible NMS and detection post-processing.
+
+Replaces torchvision's CUDA `batched_nms` in the reference eval path
+(/root/reference/src/models.py:122-146) and the top-200 cap
+(/root/reference/main.py:115-118) with a greedy suppression loop expressed as
+`lax.scan` over a static number of output slots — the TPU-friendly shape: all
+tensors fixed-size, validity carried as a mask.
+
+Class-aware NMS uses the coordinate-offset trick (boxes shifted per class so
+cross-class pairs never overlap), exactly equivalent to torchvision's
+`batched_nms`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import boxes as box_ops
+
+_NEG_INF = jnp.float32(-jnp.inf)
+
+
+def nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    max_outputs: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS on one image. boxes [N, 4] xyxy, scores [N] (-inf = dead).
+
+    Returns (keep_idx [max_outputs] int32, keep_valid [max_outputs] bool),
+    emitted in descending score order (torchvision order). Suppression uses
+    IoU strictly greater than the threshold, matching torchvision.
+    """
+    iou, _ = box_ops.pairwise_iou(boxes, boxes)  # [N, N]
+
+    def step(live_scores, _):
+        j = jnp.argmax(live_scores)
+        best = live_scores[j]
+        valid = best > _NEG_INF
+        suppress = (iou[j] > iou_threshold) | (jnp.arange(boxes.shape[0]) == j)
+        live_scores = jnp.where(valid & suppress, _NEG_INF, live_scores)
+        return live_scores, (jnp.where(valid, j, -1).astype(jnp.int32), valid)
+
+    _, (keep_idx, keep_valid) = jax.lax.scan(
+        step, scores.astype(jnp.float32), None, length=max_outputs
+    )
+    return keep_idx, keep_valid
+
+
+def batched_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    classes: jnp.ndarray,
+    iou_threshold: float,
+    max_outputs: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Class-aware NMS (torchvision batched_nms semantics), one image."""
+    # Offset each class into its own disjoint coordinate range.
+    span = jnp.max(boxes) - jnp.min(boxes) + 1.0
+    offset = classes.astype(jnp.float32) * span
+    shifted = boxes + offset[:, None]
+    return nms(shifted, scores, iou_threshold, max_outputs)
+
+
+def postprocess(
+    pred_boxes: jnp.ndarray,
+    pred_sims: jnp.ndarray,
+    *,
+    confidence_threshold: float = 0.01,
+    iou_threshold: float = 0.6,
+    top_k: int = 200,
+) -> dict:
+    """Batched detection decoding (reference PostProcess + top-200 cap).
+
+    pred_boxes [B, P, 4] xyxy, pred_sims [B, P, C] ->
+      dict(boxes [B, K, 4], classes [B, K], scores [B, K], valid [B, K]).
+
+    Per image: per-patch max over classes, confidence filter, class-aware
+    NMS — emitted score-descending, so the first K survivors ARE the top-K
+    (the reference's separate topk, main.py:116-118).
+    """
+    scores = jnp.max(pred_sims, axis=-1)  # [B, P]
+    classes = jnp.argmax(pred_sims, axis=-1).astype(jnp.int32)
+    scores = jnp.where(scores > confidence_threshold, scores, _NEG_INF)
+
+    def per_image(b, s, c):
+        keep_idx, keep_valid = batched_nms(b, s, c, iou_threshold, top_k)
+        idx = jnp.clip(keep_idx, 0)
+        return {
+            "boxes": b[idx] * keep_valid[:, None],
+            "classes": jnp.where(keep_valid, c[idx], -1),
+            "scores": jnp.where(keep_valid, s[idx], 0.0),
+            "valid": keep_valid,
+        }
+
+    return jax.vmap(per_image)(pred_boxes.astype(jnp.float32), scores, classes)
