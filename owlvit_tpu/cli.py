@@ -1,0 +1,145 @@
+"""Command-line interface.
+
+The reference is driven by `python main.py` with zero CLI (config.yaml read
+ad-hoc). Here: subcommands for the full lifecycle.
+
+    python -m owlvit_tpu.cli train --config config.yaml
+    python -m owlvit_tpu.cli eval --config config.yaml
+    python -m owlvit_tpu.cli infer --config config.yaml --image img.png
+    python -m owlvit_tpu.cli make-synthetic --root /tmp/synth
+    python -m owlvit_tpu.cli make-coco-subset --config config.yaml
+    python -m owlvit_tpu.cli convert --model b32 --src <hf-name-or-dir> --out p.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_train(args):
+    from owlvit_tpu.train import Trainer
+    from owlvit_tpu.utils.config import load_config
+
+    trainer = Trainer(load_config(args.config), workdir=args.workdir)
+    metrics = trainer.run()
+    print(json.dumps({k: v for k, v in metrics.items()
+                      if not hasattr(v, "shape")}, indent=2))
+
+
+def _cmd_eval(args):
+    from owlvit_tpu.train import Trainer
+    from owlvit_tpu.utils.config import load_config
+
+    trainer = Trainer(load_config(args.config), workdir=args.workdir)
+    metrics = trainer.evaluate()
+    print(json.dumps({k: (v.tolist() if hasattr(v, "tolist") else v)
+                      for k, v in metrics.items()}, indent=2))
+
+
+def _cmd_infer(args):
+    import numpy as np
+    from PIL import Image
+
+    from owlvit_tpu.train import Trainer
+    from owlvit_tpu.utils.config import load_config
+
+    trainer = Trainer(load_config(args.config), workdir=args.workdir)
+    size = trainer.model_cfg.vision.image_size
+    img = Image.open(args.image).convert("RGB")
+    w, h = img.size
+    arr = np.asarray(img.resize((size, size), Image.BICUBIC), np.uint8)
+    out = trainer.eval_step(
+        trainer.state.trainable, trainer.state.frozen, arr[None]
+    )
+    keep = np.asarray(out["valid"][0])
+    boxes = np.asarray(out["boxes"][0])[keep] * np.array([w, h, w, h])
+    classes = np.asarray(out["classes"][0])[keep]
+    scores = np.asarray(out["scores"][0])[keep]
+    for b, c, s in list(zip(boxes, classes, scores))[: args.top]:
+        name = trainer.labelmap.get(int(c), str(int(c)))
+        print(f"{name:20s} {s:.3f}  [{b[0]:.1f}, {b[1]:.1f}, {b[2]:.1f}, {b[3]:.1f}]")
+
+
+def _cmd_make_synthetic(args):
+    from owlvit_tpu.data import synthetic
+
+    paths = synthetic.generate(
+        args.root, n_train=args.n_train, n_test=args.n_test,
+        n_classes=args.n_classes, seed=args.seed,
+    )
+    print(json.dumps(paths, indent=2))
+
+
+def _cmd_make_coco_subset(args):
+    from owlvit_tpu.data import coco
+    from owlvit_tpu.utils.config import load_config
+
+    cfg = load_config(args.config).data
+    out = coco.build_subset(
+        cfg.annotations_file, args.out_dir,
+        num_train=cfg.num_train_images, num_test=cfg.num_test_images,
+        seed=args.seed,
+    )
+    print(json.dumps({"n_train": out["n_train"], "n_test": out["n_test"],
+                      "counts": out["counts"]}, indent=2))
+
+
+def _cmd_convert(args):
+    """Offline HF -> npz conversion (torch/transformers allowed here only)."""
+    from transformers import OwlViTForObjectDetection
+
+    from owlvit_tpu.models import get_config
+    from owlvit_tpu.models.convert import convert_state_dict, save_params
+
+    model = OwlViTForObjectDetection.from_pretrained(args.src)
+    cfg = get_config(args.model)
+    params = convert_state_dict(dict(model.state_dict()), cfg)
+    save_params(args.out, params)
+    print(f"wrote {args.out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="owlvit_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    for name, fn in [("train", _cmd_train), ("eval", _cmd_eval)]:
+        sp = sub.add_parser(name)
+        sp.add_argument("--config", required=True)
+        sp.add_argument("--workdir", default=".")
+        sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("infer")
+    sp.add_argument("--config", required=True)
+    sp.add_argument("--image", required=True)
+    sp.add_argument("--workdir", default=".")
+    sp.add_argument("--top", type=int, default=10)
+    sp.set_defaults(fn=_cmd_infer)
+
+    sp = sub.add_parser("make-synthetic")
+    sp.add_argument("--root", required=True)
+    sp.add_argument("--n-train", type=int, default=64)
+    sp.add_argument("--n-test", type=int, default=16)
+    sp.add_argument("--n-classes", type=int, default=4)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=_cmd_make_synthetic)
+
+    sp = sub.add_parser("make-coco-subset")
+    sp.add_argument("--config", required=True)
+    sp.add_argument("--out-dir", default="data")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=_cmd_make_coco_subset)
+
+    sp = sub.add_parser("convert")
+    sp.add_argument("--model", default="b32")
+    sp.add_argument("--src", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=_cmd_convert)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

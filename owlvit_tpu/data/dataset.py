@@ -1,0 +1,134 @@
+"""Detection dataset with fixed-shape padded ground truth.
+
+Replaces the reference's OwlDataset + torch DataLoader
+(/root/reference/src/dataset.py:24-108). Differences by design:
+
+  * GT is padded to `max_gt` with a validity mask — this is what makes
+    batch > 1 possible (the reference is hard-coded to batch_size=1)
+  * images are host-resized to the model resolution with PIL bicubic on
+    uint8 (bit-identical to the HF processor's resize step); the cheap
+    rescale+normalize runs fused on device (ops/preprocess.normalize_image)
+  * class-imbalance scales use the reference's formula
+    round(log(max_count / count) + 3, 1)  (dataset.py:88-98)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import Counter
+from typing import Iterator, Optional
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+class DetectionDataset:
+    def __init__(
+        self,
+        annotations_file: str,
+        images_dir: str,
+        image_size: int = 768,
+        max_gt: int = 64,
+    ):
+        self.images_dir = images_dir
+        self.image_size = image_size
+        self.max_gt = max_gt
+
+        with open(annotations_file) as f:
+            data = json.load(f)
+        n_total = len(data)
+        # Drop images without annotations (reference dataset.py:33-34).
+        self.items = [(k, v) for k, v in data.items() if len(v)]
+        self.n_dropped = n_total - len(self.items)
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def labels_of(self, idx: int) -> list:
+        return [a["label"] for a in self.items[idx][1]]
+
+    def class_counts(self) -> Counter:
+        c = Counter()
+        for i in range(len(self)):
+            c.update(self.labels_of(i))
+        return c
+
+    def class_scales(self, n_classes: int) -> np.ndarray:
+        """Log-imbalance weights (reference dataset.py:88-98). Classes absent
+        from the split get the max weight instead of a div-by-zero."""
+        counts = self.class_counts()
+        arr = np.array([counts.get(i, 0) for i in range(n_classes)], np.float64)
+        mx = arr.max() if arr.max() > 0 else 1.0
+        safe = np.where(arr > 0, arr, 1.0)
+        scales = np.round(np.log(mx / safe) + 3.0, 1)
+        return scales.astype(np.float32)
+
+    def _load_image(self, path_key: str) -> tuple[np.ndarray, int, int]:
+        path = os.path.join(self.images_dir, os.path.basename(path_key))
+        img = Image.open(path).convert("RGB")
+        w, h = img.size
+        img = img.resize((self.image_size, self.image_size), Image.BICUBIC)
+        return np.asarray(img, np.uint8), w, h
+
+    def __getitem__(self, idx: int) -> dict:
+        key, anns = self.items[idx]
+        image, w, h = self._load_image(key)
+
+        G = self.max_gt
+        boxes = np.zeros((G, 4), np.float32)
+        labels = np.zeros((G,), np.int32)
+        mask = np.zeros((G,), bool)
+        for slot, a in enumerate(anns[:G]):
+            x, y, bw, bh = a["bbox"]
+            # abs xywh -> normalized xyxy (reference train_util.py:4-13)
+            boxes[slot] = [x / w, y / h, (x + bw) / w, (y + bh) / h]
+            labels[slot] = a["label"]
+            mask[slot] = True
+
+        return {
+            "image": image,
+            "boxes": boxes,
+            "labels": labels,
+            "gt_mask": mask,
+            "width": np.int32(w),
+            "height": np.int32(h),
+            "path": os.path.join(self.images_dir, os.path.basename(key)),
+        }
+
+
+def batch_iterator(
+    dataset: DetectionDataset,
+    batch_size: int,
+    *,
+    shuffle: bool = False,
+    seed: int = 0,
+    pad_final: bool = True,
+) -> Iterator[dict]:
+    """One epoch of fixed-shape batches (numpy). The final ragged batch is
+    padded with repeated samples and flagged via `image_valid` so eval can
+    skip the padding (training usually drops it instead)."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+
+    for start in range(0, len(order), batch_size):
+        idxs = order[start : start + batch_size]
+        valid = np.ones((batch_size,), bool)
+        if len(idxs) < batch_size:
+            if not pad_final:
+                return
+            valid[len(idxs) :] = False
+            idxs = np.concatenate([idxs, order[: batch_size - len(idxs)]])
+        samples = [dataset[int(i)] for i in idxs]
+        batch = {
+            k: np.stack([s[k] for s in samples])
+            for k in ("image", "boxes", "labels", "gt_mask", "width", "height")
+        }
+        batch["image_valid"] = valid
+        batch["paths"] = [s["path"] for s in samples]
+        yield batch

@@ -59,6 +59,10 @@ class OwlViTConfig:
     dtype: str = "float32"  # compute dtype: "float32" | "bfloat16"
     attention_impl: str = "auto"  # "auto" | "xla" | "flash"
     remat: bool = False  # rematerialize encoder blocks under grad
+    # Fine-tuning freeze boundary: only the last k vision layers get
+    # gradients (reference trains only layers.11, models.py:173-184).
+    # None = no stop_gradient split (inference / full fine-tune).
+    trainable_last_k: "int | None" = None
     # Replicate the reference's query-normalization quirk
     # (/root/reference/src/models.py:31-33: `q / ||q|| + 1e-6` — the epsilon is
     # added to the *normalized* vector). Set True to use the correct

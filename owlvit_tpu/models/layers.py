@@ -107,6 +107,9 @@ def attention(
     k = linear(p["k"], x).reshape(B, S, num_heads, head_dim)
     v = linear(p["v"], x).reshape(B, S, num_heads, head_dim)
 
+    if impl == "flash" and (bias is not None or causal):
+        impl = "xla"  # flash kernel covers the ViT path (no mask/bias)
+
     if impl == "flash":
         from owlvit_tpu.ops.flash_attention import flash_attention
 

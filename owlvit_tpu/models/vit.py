@@ -57,10 +57,17 @@ def forward(
     dtype=jnp.float32,
     attention_impl: str = "xla",
     remat: bool = False,
+    trainable_last_k: int | None = None,
 ) -> jnp.ndarray:
     """[B, H, W, 3] -> last_hidden_state [B, 1+P, D] (pre post-LN, like HF's
     encoder output; callers apply post_ln where the pipeline requires it —
-    the detection path applies it to ALL tokens, see owlvit.image_embedder)."""
+    the detection path applies it to ALL tokens, see owlvit.image_embedder).
+
+    trainable_last_k: if set (fine-tuning; the reference trains only
+    `layers.11`, models.py:173-184), the first L-k layers run inside a
+    stop_gradient so AD never builds their backward pass — the frozen
+    backbone costs forward-only FLOPs instead of a full backward sweep.
+    """
     x = patchify(pixel_values.astype(dtype), cfg.patch_size)
     x = x @ params["patch_embedding"]["kernel"].astype(dtype)
 
@@ -71,12 +78,16 @@ def forward(
     x = x + params["position_embedding"].astype(dtype)
 
     x = layer_norm(params["pre_ln"], x, cfg.layer_norm_eps)
-    x = encoder(
-        params["layers"],
-        x,
-        cfg.num_heads,
-        cfg.layer_norm_eps,
-        impl=attention_impl,
-        remat=remat,
-    )
+
+    kwargs = dict(eps=cfg.layer_norm_eps, impl=attention_impl, remat=remat)
+    k = trainable_last_k
+    if k is None or k >= cfg.num_layers:
+        return encoder(params["layers"], x, cfg.num_heads, **kwargs)
+
+    split = cfg.num_layers - k
+    head = jax.tree.map(lambda a: a[:split], params["layers"])
+    x = jax.lax.stop_gradient(encoder(head, x, cfg.num_heads, **kwargs))
+    if k > 0:
+        tail = jax.tree.map(lambda a: a[split:], params["layers"])
+        x = encoder(tail, x, cfg.num_heads, **kwargs)
     return x

@@ -1,0 +1,119 @@
+"""ctypes bindings for the C++ host kernels, with transparent build + fallback.
+
+`lib()` returns the loaded shared library, compiling it with g++ on first use
+(cached next to the source). Callers treat `lib() is None` as "use the pure
+Python/NumPy path" — the framework never hard-requires the native build.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(__file__)
+_SRC = os.path.join(_DIR, "src", "owlvit_native.cpp")
+_SO = os.path.join(_DIR, "libowlvit_native.so")
+
+_lib = None
+_tried = False
+
+
+def build(force: bool = False) -> str | None:
+    if os.path.exists(_SO) and not force:
+        if not force and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+            return _SO
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _SO
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return None
+
+
+def lib():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    so = build()
+    if so is None:
+        return None
+    L = ctypes.CDLL(so)
+    L.lsap_solve.restype = ctypes.c_int
+    L.lsap_solve.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    L.nms.restype = ctypes.c_int
+    L.nms.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_float, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    L.coco_match.restype = None
+    L.coco_match.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    _lib = L
+    return _lib
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def lsap(cost: np.ndarray) -> np.ndarray | None:
+    """Host linear sum assignment; [R, C] float -> col4row [R] int32."""
+    L = lib()
+    if L is None:
+        return None
+    cost = np.ascontiguousarray(cost, np.float64)
+    out = np.empty((cost.shape[0],), np.int32)
+    rc = L.lsap_solve(
+        _ptr(cost, ctypes.c_double), cost.shape[0], cost.shape[1],
+        _ptr(out, ctypes.c_int),
+    )
+    if rc != 0:
+        raise ValueError(f"lsap_solve failed: {rc}")
+    return out
+
+
+def nms(boxes: np.ndarray, scores: np.ndarray, iou_thresh: float,
+        max_out: int) -> np.ndarray | None:
+    L = lib()
+    if L is None:
+        return None
+    boxes = np.ascontiguousarray(boxes, np.float32)
+    scores = np.ascontiguousarray(scores, np.float32)
+    keep = np.empty((max_out,), np.int32)
+    n = L.nms(
+        _ptr(boxes, ctypes.c_float), _ptr(scores, ctypes.c_float),
+        len(scores), iou_thresh, max_out, _ptr(keep, ctypes.c_int),
+    )
+    return keep[:n]
+
+
+def coco_match(iou: np.ndarray, gt_ignore: np.ndarray,
+               thrs: np.ndarray) -> tuple | None:
+    L = lib()
+    if L is None:
+        return None
+    D, G = iou.shape
+    T = len(thrs)
+    iou = np.ascontiguousarray(iou, np.float64)
+    gt_ignore = np.ascontiguousarray(gt_ignore, np.uint8)
+    thrs = np.ascontiguousarray(thrs, np.float64)
+    matched = np.zeros((T, D), np.uint8)
+    ignored = np.zeros((T, D), np.uint8)
+    L.coco_match(
+        _ptr(iou, ctypes.c_double), D, G, _ptr(gt_ignore, ctypes.c_uint8),
+        _ptr(thrs, ctypes.c_double), T,
+        _ptr(matched, ctypes.c_uint8), _ptr(ignored, ctypes.c_uint8),
+    )
+    return matched.astype(bool), ignored.astype(bool)

@@ -1,17 +1,269 @@
-"""Pallas TPU flash attention for the ViT encoder (placeholder gate).
+"""Pallas TPU fused attention for the ViT encoder, with custom VJP.
 
-The fused kernel lands in ops/flash_attention (milestone: performance layer);
-until then `flash_supported()` returns False and the model layer routes to the
-XLA einsum-softmax path, which XLA fuses well on TPU for these sequence
-lengths (577/2305/3601 tokens).
+The ViT is the entire hot path (SURVEY §3.1/§3.3): 12-24 pre-LN blocks over
+577 (B/32), 2305 (B/16) or 3601 (L/14) tokens. A naive attention materializes
+the [B, H, S, S] score tensor in HBM (for B/16 at batch 32 that is ~4-8 GB per
+direction); this kernel keeps scores in VMEM per query block and never writes
+them out.
+
+Shape strategy (TPU-first):
+  * sequences padded to a multiple of the 128-row query block; padded KEYS are
+    masked to -inf inside the kernel (padded QUERY rows compute garbage that
+    is sliced off outside — cheaper than masking)
+  * K/V for one (batch, head) fit comfortably in VMEM at these sequence
+    lengths (<= 3712 x 64 x 4B ~ 1 MB), so each query block does one full-row
+    softmax — numerically identical to exact attention, no online rescaling
+  * grid (B*H, S/BQ); MXU matmuls with fp32 accumulation
+  * backward = two Pallas kernels (dQ by query block, dK/dV by key block)
+    using the stashed logsumexp, the standard flash-attention recompute
+
+Non-causal, no-bias attention only (the vision tower); the text encoder
+(16 tokens, init-time only) uses the XLA path via layers.attention.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_Q = 128
+_NEG = -1e30
+
+# Interpret mode runs the kernels in the Pallas interpreter (CPU tests).
+INTERPRET = False
+
+
+def _interpret() -> bool:
+    return INTERPRET or jax.default_backend() != "tpu"
+
 
 def flash_supported() -> bool:
-    return False
+    return True
 
 
-def flash_attention(q, k, v, *, scale: float, bias=None, causal: bool = False):
-    raise NotImplementedError("Pallas flash attention not yet wired in")
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+# --------------------------------------------------------------------------
+# Forward
+# --------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, s_real):
+    q = q_ref[0].astype(jnp.float32)  # [BQ, hd]
+    k = k_ref[0].astype(jnp.float32)  # [S_pad, hd]
+    v = v_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q * scale, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BQ, S_pad]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < s_real, s, _NEG)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)  # [BQ, 1]
+
+
+def _fwd(q3, k3, v3, scale, s_real):
+    """q3/k3/v3: [BH, S_pad, hd] -> (o [BH, S_pad, hd], lse [BH, S_pad])."""
+    BH, S_pad, hd = q3.shape
+    grid = (BH, S_pad // BLOCK_Q)
+    kernel = functools.partial(_fwd_kernel, scale=scale, s_real=s_real)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, hd), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, hd), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, hd), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK_Q, hd), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, S_pad, hd), q3.dtype),
+            jax.ShapeDtypeStruct((BH, S_pad, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(q3, k3, v3)
+
+
+# --------------------------------------------------------------------------
+# Backward
+# --------------------------------------------------------------------------
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+               *, scale, s_real):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]  # [BQ, 1]
+    delta = delta_ref[0]
+
+    s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < s_real, s, _NEG)
+    p = jnp.exp(s - lse)  # [BQ, S_pad]
+
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * scale
+    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, *, scale, s_real):
+    # one (batch*head, key-block) program; K block vs ALL queries
+    q = q_ref[0].astype(jnp.float32)  # [S_pad, hd] (all queries)
+    k = k_ref[0].astype(jnp.float32)  # [BK, hd]
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)  # [S_pad, hd]
+    lse = lse_ref[0]  # [S_pad, 1]
+    delta = delta_ref[0]
+
+    s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [S_pad, BK]
+    kcol = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + (
+        pl.program_id(1) * k.shape[0]
+    )
+    s = jnp.where(kcol < s_real, s, _NEG)
+    # padded query rows have lse=0 from masked fwd? they were computed on
+    # garbage; kill their contribution explicitly:
+    qrow = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    p = jnp.where(qrow < s_real, jnp.exp(s - lse), 0.0)  # [S_pad, BK]
+
+    dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [BK, hd]
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [S_pad, BK]
+    ds = p * (dp - delta) * scale
+    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [BK, hd]
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd(scale, s_real, res, g):
+    q3, k3, v3, o3, lse = res
+    BH, S_pad, hd = q3.shape
+    do3 = g
+    delta = jnp.sum(
+        do3.astype(jnp.float32) * o3.astype(jnp.float32), axis=-1, keepdims=True
+    )  # [BH, S_pad, 1]
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, s_real=s_real),
+        grid=(BH, S_pad // BLOCK_Q),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, hd), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, hd), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, hd), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, hd), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_Q, hd), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, S_pad, hd), q3.dtype),
+        interpret=_interpret(),
+    )(q3, k3, v3, do3, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, s_real=s_real),
+        grid=(BH, S_pad // BLOCK_Q),
+        in_specs=[
+            pl.BlockSpec((1, S_pad, hd), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, hd), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, hd), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, hd), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, 1), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, 1), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK_Q, hd), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, hd), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, S_pad, hd), k3.dtype),
+            jax.ShapeDtypeStruct((BH, S_pad, hd), v3.dtype),
+        ],
+        interpret=_interpret(),
+    )(q3, k3, v3, do3, lse, delta)
+    return dq, dk, dv
+
+
+# --------------------------------------------------------------------------
+# Public API with custom VJP
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash3(q3, k3, v3, scale, s_real):
+    o, _ = _fwd(q3, k3, v3, scale, s_real)
+    return o
+
+
+def _flash3_fwd(q3, k3, v3, scale, s_real):
+    o, lse = _fwd(q3, k3, v3, scale, s_real)
+    return o, (q3, k3, v3, o, lse)
+
+
+_flash3.defvjp(_flash3_fwd, _bwd)
+
+
+def flash_attention(q, k, v, *, scale, bias=None, causal=False):
+    """q/k/v: [B, S, H, hd] -> [B, S, H, hd]. Non-causal, no bias."""
+    if bias is not None or causal:
+        raise NotImplementedError("flash path is for the ViT (no mask/bias)")
+    B, S, H, hd = q.shape
+    S_pad = ((S + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
+
+    def to3(x):
+        x = x.transpose(0, 2, 1, 3).reshape(B * H, S, hd)
+        return _pad_to(x, S_pad, axis=1)
+
+    o = _flash3(to3(q), to3(k), to3(v), float(scale), S)
+    o = o[:, :S].reshape(B, H, S, hd).transpose(0, 2, 1, 3)
+    return o

@@ -98,6 +98,19 @@ class MeanAveragePrecision:
         T = len(IOU_THRS)
         D, G = len(det_boxes), len(gt)
         iou = _iou_matrix(det_boxes, gt)
+
+        if D and G:
+            # C++ fast path (owlvit_tpu/native): same greedy matching.
+            from owlvit_tpu import native
+
+            nm = native.coco_match(iou, g_ignore, IOU_THRS)
+            if nm is not None:
+                matched, ignored = nm
+                d_area = _box_area(det_boxes)
+                d_out = (d_area < area_rng[0]) | (d_area >= area_rng[1])
+                ignored = ignored | (~matched & d_out[None, :])
+                return det_scores, matched, ignored, int((~g_ignore).sum())
+
         matched = np.zeros((T, D), bool)
         ignored = np.zeros((T, D), bool)
         gt_taken = np.zeros((T, G), bool)

@@ -1,0 +1,8 @@
+from .mesh import create_mesh  # noqa: F401
+from .sharding import (  # noqa: F401
+    batch_spec,
+    param_specs,
+    shard_batch,
+    shard_params,
+    shard_state,
+)

@@ -1,0 +1,293 @@
+"""Train/eval driver: one jit-compiled train step, epoch loop, eval, mAP.
+
+Rebuilds the reference driver (/root/reference/main.py) TPU-first:
+
+  * ONE `jax.jit`-compiled train step: on-device normalize -> ViT forward ->
+    Hungarian match -> loss -> grads -> AdamW update. The reference crosses
+    the host boundary every step (matcher on CPU, .item() syncs); here the
+    only per-step host work is feeding the next batch.
+  * batch_size is free (vmap-batched loss), vs. the reference's batch=1.
+  * frozen backbone never builds a backward pass (state.partition_params).
+  * Orbax checkpointing + resume (absent in the reference).
+  * per-epoch eval: jitted forward+NMS postprocess, host COCO mAP,
+    per-class history (class_maps.json), progress table, JSONL metrics.
+  * behavioral fixes over the reference, on purpose: eval runs in eval mode
+    every epoch (main.py:62,99 never restores train mode — inert for this
+    architecture), loss accumulator resets per epoch (util.py:30-31 bug).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from owlvit_tpu.data import DetectionDataset, batch_iterator, prefetch_to_device
+from owlvit_tpu.data import synthetic as synthetic_data
+from owlvit_tpu.data.coco import load_labelmap
+from owlvit_tpu.data.tokenizer import CLIPTokenizer, HashTokenizer, build_prompts
+from owlvit_tpu.models import get_config, owlvit
+from owlvit_tpu.models.convert import load_params
+from owlvit_tpu.ops import losses as loss_ops
+from owlvit_tpu.ops import nms as nms_ops
+from owlvit_tpu.ops.map_metric import MeanAveragePrecision
+from owlvit_tpu.ops.preprocess import normalize_image
+from owlvit_tpu.utils.config import Config
+from owlvit_tpu.utils.logging import JSONLLogger, LossAccumulator, ProgressFormatter
+
+from . import checkpoint as ckpt
+from .state import TrainState, combine_params, partition_params
+
+TrainConfig = Config  # alias: the full config drives the trainer
+
+
+class Trainer:
+    def __init__(self, config: Config, workdir: str = "."):
+        self.cfg = config
+        self.workdir = workdir
+        self.setup()
+
+    # ------------------------------------------------------------------ setup
+
+    def setup(self):
+        cfg = self.cfg
+        d = cfg.data
+
+        if d.synthetic_root:
+            paths = synthetic_data.generate(
+                d.synthetic_root,
+                n_train=d.num_train_images,
+                n_test=d.num_test_images,
+                n_classes=d.synthetic_classes,
+                seed=cfg.training.seed,
+            )
+            d.images_path = paths["images_dir"]
+            d.train_annotations = paths["train"]
+            d.test_annotations = paths["test"]
+            d.labelmap = paths["labelmap"]
+
+        self.labelmap = load_labelmap(d.labelmap)
+        self.n_classes = len(self.labelmap)
+
+        self.model_cfg = get_config(
+            cfg.model.name,
+            dtype=cfg.model.dtype,
+            attention_impl=cfg.model.attention_impl,
+            remat=cfg.model.remat,
+            trainable_last_k=cfg.model.trainable_last_k,
+        )
+        size = self.model_cfg.vision.image_size
+
+        self.train_ds = DetectionDataset(
+            d.train_annotations, d.images_path, image_size=size, max_gt=d.max_gt
+        )
+        self.test_ds = DetectionDataset(
+            d.test_annotations, d.images_path, image_size=size, max_gt=d.max_gt
+        )
+
+        # --- params ---------------------------------------------------------
+        if cfg.model.params_npz:
+            params = load_params(cfg.model.params_npz)
+        else:
+            params = owlvit.init(
+                jax.random.PRNGKey(cfg.training.seed), self.model_cfg
+            )
+        if "queries" not in params:
+            params["queries"] = np.asarray(self._build_query_bank(params))
+
+        # --- optimizer over the trainable partition only --------------------
+        trainable, frozen = partition_params(params, cfg.model.trainable_last_k)
+        self.tx = optax.adamw(
+            learning_rate=cfg.training.learning_rate,
+            weight_decay=cfg.training.weight_decay,
+        )
+        self.state = TrainState(
+            trainable=jax.tree.map(jnp.asarray, trainable),
+            frozen=jax.tree.map(jnp.asarray, frozen),
+            opt_state=self.tx.init(jax.tree.map(jnp.asarray, trainable)),
+            step=jnp.int32(0),
+        )
+        if cfg.training.checkpoint_dir:
+            restored = ckpt.restore(cfg.training.checkpoint_dir, self.state)
+            if restored is not None:
+                self.state = restored
+                print(f"resumed from step {int(self.state.step)}", flush=True)
+
+        scales = (
+            jnp.asarray(self.train_ds.class_scales(self.n_classes))
+            if cfg.training.use_class_weight
+            else None
+        )
+
+        # --- jitted steps ----------------------------------------------------
+        mcfg = self.model_cfg
+        n_classes = self.n_classes
+        tx = self.tx
+
+        def train_step(state: TrainState, batch):
+            def loss_fn(trainable):
+                params = combine_params(trainable, state.frozen)
+                px = normalize_image(batch["image"])
+                boxes, sims = owlvit.forward_train(params, mcfg, px)
+                terms = loss_ops.push_pull_loss(
+                    sims, boxes, batch["labels"], batch["boxes"],
+                    batch["gt_mask"], n_classes, scales,
+                )
+                return loss_ops.total_loss(terms), terms
+
+            (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.trainable
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+            trainable = optax.apply_updates(state.trainable, updates)
+            return (
+                TrainState(trainable, state.frozen, opt_state, state.step + 1),
+                terms,
+            )
+
+        t = cfg.training
+
+        def eval_step(trainable, frozen, images):
+            params = combine_params(trainable, frozen)
+            px = normalize_image(images)
+            eval_cfg = mcfg.replace(trainable_last_k=None)
+            boxes, sims = owlvit.forward_train(params, eval_cfg, px)
+            return nms_ops.postprocess(
+                boxes, sims,
+                confidence_threshold=t.confidence_threshold,
+                iou_threshold=t.iou_threshold,
+                top_k=t.top_k,
+            )
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0,))
+        self.eval_step = jax.jit(eval_step)
+
+    def _build_query_bank(self, params) -> jnp.ndarray:
+        """CLIP-text-encode 3 prompts per class (reference models.py:155-171)."""
+        m = self.cfg.model
+        if m.clip_vocab and m.clip_merges:
+            tok = CLIPTokenizer(m.clip_vocab, m.clip_merges,
+                                max_len=self.model_cfg.text.max_len)
+        else:
+            tok = HashTokenizer(self.model_cfg.text.vocab_size,
+                                max_len=self.model_cfg.text.max_len)
+        enc = tok(build_prompts(self.labelmap))
+        return owlvit.build_query_bank(
+            params, self.model_cfg,
+            jnp.asarray(enc["input_ids"]), jnp.asarray(enc["attention_mask"]),
+        )
+
+    # ------------------------------------------------------------------- train
+
+    def run(self) -> dict:
+        t = self.cfg.training
+        logger = (
+            JSONLLogger(os.path.join(self.workdir, t.log_file))
+            if t.log_file
+            else None
+        )
+        acc = LossAccumulator()
+        progress = ProgressFormatter()
+        class_maps = {name: [] for name in self.labelmap.values()}
+        last_val = {}
+
+        for epoch in range(t.n_epochs):
+            acc.reset()
+            it = batch_iterator(
+                self.train_ds, t.batch_size,
+                shuffle=True, seed=t.seed + epoch, pad_final=False,
+            )
+            for batch in prefetch_to_device(it):
+                batch.pop("paths", None)
+                batch.pop("image_valid", None)
+                batch.pop("width", None)
+                batch.pop("height", None)
+                self.state, terms = self.train_step(self.state, batch)
+                acc.update({k: float(v) for k, v in terms.items()})
+
+            train_metrics = acc.means()
+            val_metrics = self.evaluate(epoch=epoch)
+            last_val = val_metrics
+
+            for i, name in sorted(self.labelmap.items()):
+                class_maps[name].append(float(val_metrics["map_per_class"][i]))
+            with open(os.path.join(self.workdir, "class_maps.json"), "w") as f:
+                json.dump(class_maps, f)
+
+            progress.update(epoch, train_metrics, val_metrics)
+            progress.print()
+            if logger:
+                logger.log(
+                    dict(epoch=epoch, step=int(self.state.step),
+                         **{f"train_{k}": v for k, v in train_metrics.items()},
+                         **{f"val_{k}": v for k, v in val_metrics.items()
+                            if not k.endswith("per_class")})
+                )
+            if t.checkpoint_dir and (epoch + 1) % t.checkpoint_every_epochs == 0:
+                path = ckpt.save(t.checkpoint_dir, self.state)
+                print(f"checkpoint: {path}", flush=True)
+
+        if logger:
+            logger.close()
+        return last_val
+
+    # -------------------------------------------------------------------- eval
+
+    def evaluate(self, epoch: Optional[int] = None) -> dict:
+        t = self.cfg.training
+        metric = MeanAveragePrecision(self.n_classes)
+        debug_dir = None
+        if t.save_eval_images and epoch is not None:
+            debug_dir = os.path.join(self.workdir, "debug", str(epoch))
+            os.makedirs(debug_dir, exist_ok=True)
+
+        it = batch_iterator(self.test_ds, t.batch_size, shuffle=False)
+        for bi, batch in enumerate(prefetch_to_device(it)):
+            paths = batch.pop("paths", None)
+            out = self.eval_step(
+                self.state.trainable, self.state.frozen, batch["image"]
+            )
+            out = {k: np.asarray(v) for k, v in out.items()}
+            valid_imgs = np.asarray(batch["image_valid"])
+            widths = np.asarray(batch["width"])
+            heights = np.asarray(batch["height"])
+            gt_boxes = np.asarray(batch["boxes"])
+            gt_labels = np.asarray(batch["labels"])
+            gt_mask = np.asarray(batch["gt_mask"])
+
+            for i in range(len(valid_imgs)):
+                if not valid_imgs[i]:
+                    continue
+                w, h = float(widths[i]), float(heights[i])
+                keep = out["valid"][i]
+                scale = np.array([w, h, w, h])
+                metric.update(
+                    out["boxes"][i][keep] * scale,
+                    out["scores"][i][keep],
+                    out["classes"][i][keep],
+                    gt_boxes[i][gt_mask[i]] * scale,
+                    gt_labels[i][gt_mask[i]],
+                )
+                if debug_dir and paths:
+                    self._save_debug_image(
+                        paths[i], out["boxes"][i][keep] * scale,
+                        out["classes"][i][keep],
+                        os.path.join(debug_dir, f"{bi}_{i}.png"),
+                    )
+        return metric.compute()
+
+    def _save_debug_image(self, src, boxes_abs, classes, out_path):
+        from PIL import Image, ImageDraw
+
+        img = Image.open(src).convert("RGB")
+        draw = ImageDraw.Draw(img)
+        for b, c in zip(boxes_abs, classes):
+            draw.rectangle(list(map(float, b)), outline=(0, 255, 0), width=2)
+            draw.text((float(b[0]), float(b[1])), self.labelmap.get(int(c), "?"),
+                      fill=(0, 255, 0))
+        img.save(out_path)

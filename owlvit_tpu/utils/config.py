@@ -1,0 +1,83 @@
+"""YAML config loading with validation and defaults.
+
+The reference reads config.yaml ad-hoc in three places with no validation
+(SURVEY §5.6). Here a single load_config() parses the whole file into typed
+sections with defaults, unknown-key errors, and reference-compatible names
+(data.*, training.*) plus the new model/runtime knobs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import yaml
+
+
+@dataclasses.dataclass
+class DataConfig:
+    images_path: str = ""
+    annotations_file: str = ""
+    train_annotations: str = "data/train.json"
+    test_annotations: str = "data/test.json"
+    labelmap: str = "data/labelmap.json"
+    num_train_images: int = 2500
+    num_test_images: int = 100
+    max_gt: int = 64
+    synthetic_root: Optional[str] = None  # if set, generate+use synthetic data
+    synthetic_classes: int = 4
+
+
+@dataclasses.dataclass
+class TrainingConfig:
+    n_epochs: int = 20
+    learning_rate: float = 3e-6
+    weight_decay: float = 0.1
+    batch_size: int = 1
+    use_class_weight: bool = True
+    confidence_threshold: float = 0.01
+    iou_threshold: float = 0.6
+    save_eval_images: bool = False
+    seed: int = 0
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every_epochs: int = 1
+    log_file: Optional[str] = "metrics.jsonl"
+    top_k: int = 200
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    name: str = "b32"
+    params_npz: Optional[str] = None  # converted HF checkpoint
+    dtype: str = "float32"  # or "bfloat16"
+    attention_impl: str = "auto"
+    remat: bool = False
+    trainable_last_k: int = 1
+    prompts_per_class: int = 3
+    clip_vocab: Optional[str] = None  # vocab.json path (real CLIP BPE)
+    clip_merges: Optional[str] = None
+
+
+@dataclasses.dataclass
+class Config:
+    data: DataConfig
+    training: TrainingConfig
+    model: ModelConfig
+
+
+def _build(cls, section: dict, name: str):
+    fields = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(section) - fields
+    if unknown:
+        raise ValueError(f"unknown keys in config section '{name}': {sorted(unknown)}")
+    return cls(**section)
+
+
+def load_config(path: str) -> Config:
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    return Config(
+        data=_build(DataConfig, raw.get("data", {}), "data"),
+        training=_build(TrainingConfig, raw.get("training", {}), "training"),
+        model=_build(ModelConfig, raw.get("model", {}), "model"),
+    )

@@ -1,0 +1,140 @@
+"""Data layer: synthetic generation, dataset shapes, scales, tokenizer."""
+
+import json
+
+import numpy as np
+import pytest
+
+from owlvit_tpu.data import DetectionDataset, batch_iterator
+from owlvit_tpu.data import coco, synthetic
+from owlvit_tpu.data.tokenizer import (
+    CLIPTokenizer,
+    HashTokenizer,
+    build_prompts,
+    prompt_templates,
+)
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth"))
+    return synthetic.generate(root, n_train=10, n_test=4, n_classes=3, seed=0)
+
+
+def test_synthetic_files(synth):
+    with open(synth["train"]) as f:
+        train = json.load(f)
+    assert len(train) == 10
+    anns = next(iter(train.values()))
+    assert {"bbox", "label"} <= set(anns[0].keys())
+
+
+def test_dataset_shapes(synth):
+    ds = DetectionDataset(synth["train"], synth["images_dir"], image_size=96, max_gt=8)
+    assert len(ds) == 10
+    s = ds[0]
+    assert s["image"].shape == (96, 96, 3) and s["image"].dtype == np.uint8
+    assert s["boxes"].shape == (8, 4)
+    assert s["gt_mask"].sum() >= 1
+    # normalized xyxy within [0, 1], x1 > x0
+    b = s["boxes"][s["gt_mask"]]
+    assert (b >= 0).all() and (b <= 1).all()
+    assert (b[:, 2] > b[:, 0]).all() and (b[:, 3] > b[:, 1]).all()
+
+
+def test_class_scales_formula(synth):
+    ds = DetectionDataset(synth["train"], synth["images_dir"], image_size=96)
+    counts = ds.class_counts()
+    scales = ds.class_scales(3)
+    mx = max(counts.values())
+    for i in range(3):
+        if counts.get(i, 0) > 0:
+            assert scales[i] == np.float32(round(np.log(mx / counts[i]) + 3, 1))
+    # rarest class gets the largest weight
+    rare = min(counts, key=counts.get)
+    assert scales[rare] == scales.max()
+
+
+def test_batch_iterator_padding(synth):
+    ds = DetectionDataset(synth["train"], synth["images_dir"], image_size=96, max_gt=8)
+    batches = list(batch_iterator(ds, batch_size=4, shuffle=True, seed=1))
+    assert len(batches) == 3  # 10 -> 4,4,2(+2 pad)
+    assert batches[-1]["image_valid"].tolist() == [True, True, False, False]
+    for b in batches:
+        assert b["image"].shape == (4, 96, 96, 3)
+        assert b["boxes"].shape == (4, 8, 4)
+
+
+def test_coco_labelmap():
+    m = coco.sparse_to_dense()
+    names = coco.dense_labelmap()
+    assert len(m) == 80 and len(names) == 80
+    assert names[0] == "person" and names[79] == "toothbrush"
+    assert m[1] == 0 and m[90] == 79
+    assert 12 not in m  # gap id
+
+
+def test_build_subset(tmp_path):
+    # minimal instances json
+    imgs = [{"id": i, "coco_url": f"http://x/{i}.jpg"} for i in range(20)]
+    anns = [
+        {"image_id": i, "category_id": [1, 2, 3, 16][i % 4], "bbox": [1, 2, 3, 4]}
+        for i in range(20)
+    ]
+    inst = tmp_path / "instances.json"
+    inst.write_text(json.dumps({"images": imgs, "annotations": anns}))
+    out = coco.build_subset(str(inst), str(tmp_path / "out"), num_train=10, num_test=5)
+    assert out["n_train"] == 10 and out["n_test"] == 5
+    with open(tmp_path / "out" / "train.json") as f:
+        train = json.load(f)
+    labels = {a["label"] for v in train.values() for a in v}
+    assert labels <= {0, 1, 2, 14}  # dense remapped ids (16 -> bird=14)
+
+
+def test_prompts():
+    assert prompt_templates("cat") == [
+        "cat", "a photo of cat", "a cat in an environment",
+    ]
+    p = build_prompts({0: "cat", 1: "dog"})
+    assert len(p) == 6 and p[3] == "dog"
+
+
+def test_hash_tokenizer():
+    tok = HashTokenizer(vocab_size=1000, max_len=16)
+    out = tok(["a photo of cat", "dog"])
+    ids = out["input_ids"]
+    assert ids.shape == (2, 16)
+    assert (ids[:, 0] == 998).all()  # SOT
+    # EOT is the max id in each row -> argmax pooling lands on it
+    assert ids[0].max() == 999 and ids[1].max() == 999
+    # deterministic
+    again = tok(["a photo of cat", "dog"])["input_ids"]
+    np.testing.assert_array_equal(ids, again)
+    # padding is 0 and query-mask convention holds
+    assert ids[1, 5:].sum() == 0 and ids[1, 0] > 0
+
+
+def test_clip_bpe_tokenizer(tmp_path):
+    # hand-built tiny vocab exercising the merge loop
+    base = {c: i for i, c in enumerate("abcdehlopt<|>sfx ")}
+    vocab = {}
+    idx = 0
+    for ch in "abcdehloprst":
+        vocab[ch] = idx; idx += 1
+        vocab[ch + "</w>"] = idx; idx += 1
+    for extra in ["at</w>", "c" + "at</w>", "ph", "pho", "phot", "photo</w>", "a</w>"]:
+        vocab.setdefault(extra, idx); idx += 1
+    vocab["<|startoftext|>"] = idx; idx += 1
+    vocab["<|endoftext|>"] = idx; idx += 1
+    merges = ["a t</w>", "c at</w>", "p h", "ph o", "pho t", "phot o</w>"]
+    vf = tmp_path / "vocab.json"; vf.write_text(json.dumps(vocab))
+    mf = tmp_path / "merges.txt"; mf.write_text("\n".join(merges))
+
+    tok = CLIPTokenizer(str(vf), str(mf), max_len=8)
+    out = tok(["Cat  photo", "cat"])
+    ids = out["input_ids"]
+    assert ids[0, 0] == vocab["<|startoftext|>"]
+    # "cat" -> single merged token, lowercased + whitespace-cleaned
+    assert ids[1, 1] == vocab["cat</w>"]
+    assert ids[0, 1] == vocab["cat</w>"] and ids[0, 2] == vocab["photo</w>"]
+    assert ids[0, 3] == vocab["<|endoftext|>"]

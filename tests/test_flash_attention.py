@@ -1,0 +1,86 @@
+"""Pallas flash attention vs the XLA einsum reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from owlvit_tpu.ops.flash_attention import flash_attention
+
+
+def ref_attention(q, k, v, scale):
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", w.astype(q.dtype), v)
+
+
+@pytest.mark.parametrize("S", [64, 128, 130, 577])
+def test_forward_matches_reference(rng, S):
+    B, H, hd = 2, 3, 64
+    q, k, v = (
+        rng.normal(size=(B, S, H, hd)).astype(np.float32) for _ in range(3)
+    )
+    scale = hd**-0.5
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=scale
+    )
+    ref = ref_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_gradients_match_reference(rng):
+    B, S, H, hd = 1, 130, 2, 64
+    q, k, v = (
+        rng.normal(size=(B, S, H, hd)).astype(np.float32) for _ in range(3)
+    )
+    scale = hd**-0.5
+    co = rng.normal(size=(B, S, H, hd)).astype(np.float32)
+
+    def f_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale=scale) * co)
+
+    def f_ref(q, k, v):
+        return jnp.sum(ref_attention(q, k, v, scale) * co)
+
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    )
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    )
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5, err_msg=name
+        )
+
+
+def test_bf16_forward_close(rng):
+    B, S, H, hd = 1, 128, 2, 64
+    q, k, v = (
+        rng.normal(size=(B, S, H, hd)).astype(np.float32) for _ in range(3)
+    )
+    scale = hd**-0.5
+    out = flash_attention(
+        jnp.asarray(q, jnp.bfloat16),
+        jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16),
+        scale=scale,
+    )
+    ref = ref_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_model_integration_flash_vs_xla(rng):
+    """tiny model forward with attention_impl='flash' == 'xla' numerics."""
+    from owlvit_tpu.models import get_config, owlvit
+
+    cfg_x = get_config("tiny", attention_impl="xla")
+    cfg_f = get_config("tiny", attention_impl="flash")
+    params = owlvit.init(jax.random.PRNGKey(0), cfg_x, num_queries=6)
+    img = rng.normal(size=(1, 96, 96, 3)).astype(np.float32)
+    bx, sx = owlvit.forward_train(params, cfg_x, jnp.asarray(img))
+    bf, sf = owlvit.forward_train(params, cfg_f, jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(bf), np.asarray(bx), rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(sf), np.asarray(sx), rtol=3e-4, atol=3e-5)
