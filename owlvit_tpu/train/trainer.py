@@ -196,19 +196,29 @@ class Trainer:
         class_maps = {name: [] for name in self.labelmap.values()}
         last_val = {}
 
+        profiling = None
         for epoch in range(t.n_epochs):
             acc.reset()
             it = batch_iterator(
                 self.train_ds, t.batch_size,
                 shuffle=True, seed=t.seed + epoch, pad_final=False,
             )
-            for batch in prefetch_to_device(it):
+            for step_i, batch in enumerate(prefetch_to_device(it)):
                 batch.pop("paths", None)
                 batch.pop("image_valid", None)
                 batch.pop("width", None)
                 batch.pop("height", None)
+                if t.profile_dir and epoch == 0 and step_i == 1:
+                    # skip step 0 (compile); trace the next profile_steps
+                    jax.profiler.start_trace(t.profile_dir)
+                    profiling = True
                 self.state, terms = self.train_step(self.state, batch)
                 acc.update({k: float(v) for k, v in terms.items()})
+                if profiling and step_i >= t.profile_steps:
+                    jax.block_until_ready(self.state.step)
+                    jax.profiler.stop_trace()
+                    profiling = None
+                    print(f"profiler trace: {t.profile_dir}", flush=True)
 
             train_metrics = acc.means()
             val_metrics = self.evaluate(epoch=epoch)

@@ -43,6 +43,8 @@ class TrainingConfig:
     checkpoint_every_epochs: int = 1
     log_file: Optional[str] = "metrics.jsonl"
     top_k: int = 200
+    profile_dir: Optional[str] = None  # jax.profiler trace of train steps
+    profile_steps: int = 5
 
 
 @dataclasses.dataclass
