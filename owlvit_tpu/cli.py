@@ -39,27 +39,70 @@ def _cmd_eval(args):
 
 
 def _cmd_infer(args):
+    """Detect with the trained query bank, free-text queries (zero-shot), or
+    a query image (one-shot), selected by --queries / --query-image."""
+    import jax.numpy as jnp
     import numpy as np
     from PIL import Image
 
+    from owlvit_tpu.models import owlvit
+    from owlvit_tpu.ops import nms as nms_ops
+    from owlvit_tpu.ops.preprocess import normalize_image
     from owlvit_tpu.train import Trainer
     from owlvit_tpu.utils.config import load_config
 
-    trainer = Trainer(load_config(args.config), workdir=args.workdir)
-    size = trainer.model_cfg.vision.image_size
+    cfg = load_config(args.config)
+    trainer = Trainer(cfg, workdir=args.workdir)
+    mcfg = trainer.model_cfg.replace(trainable_last_k=None)
+    size = mcfg.vision.image_size
     img = Image.open(args.image).convert("RGB")
     w, h = img.size
     arr = np.asarray(img.resize((size, size), Image.BICUBIC), np.uint8)
-    out = trainer.eval_step(
-        trainer.state.trainable, trainer.state.frozen, arr[None]
+
+    from owlvit_tpu.train.state import combine_params
+
+    params = combine_params(trainer.state.trainable, trainer.state.frozen)
+    px = normalize_image(jnp.asarray(arr[None]))
+
+    if args.queries:  # zero-shot: free-text conditioning
+        from owlvit_tpu.data.tokenizer import CLIPTokenizer, HashTokenizer
+
+        if cfg.model.clip_vocab:
+            tok = CLIPTokenizer(cfg.model.clip_vocab, cfg.model.clip_merges,
+                                max_len=mcfg.text.max_len)
+        else:
+            tok = HashTokenizer(mcfg.text.vocab_size, max_len=mcfg.text.max_len)
+        enc = tok(args.queries)
+        boxes_j, logits = owlvit.forward_zero_shot(
+            params, mcfg, px, jnp.asarray(enc["input_ids"]),
+            jnp.asarray(enc["attention_mask"]),
+        )
+        sims = 1.0 / (1.0 + jnp.exp(-logits))  # sigmoid (HF decode protocol)
+        names = {i: q for i, q in enumerate(args.queries)}
+    elif args.query_image:  # one-shot: image conditioning
+        qimg = Image.open(args.query_image).convert("RGB")
+        qarr = np.asarray(qimg.resize((size, size), Image.BICUBIC), np.uint8)
+        qpx = normalize_image(jnp.asarray(qarr[None]))
+        boxes_j, logits = owlvit.forward_one_shot(params, mcfg, px, qpx)
+        sims = 1.0 / (1.0 + jnp.exp(-logits))
+        names = {0: "query-object"}
+    else:  # trained query bank
+        boxes_j, sims = owlvit.forward_train(params, mcfg, px)
+        names = trainer.labelmap
+
+    out = nms_ops.postprocess(
+        boxes_j, sims,
+        confidence_threshold=cfg.training.confidence_threshold,
+        iou_threshold=cfg.training.iou_threshold,
+        top_k=cfg.training.top_k,
     )
     keep = np.asarray(out["valid"][0])
     boxes = np.asarray(out["boxes"][0])[keep] * np.array([w, h, w, h])
     classes = np.asarray(out["classes"][0])[keep]
     scores = np.asarray(out["scores"][0])[keep]
     for b, c, s in list(zip(boxes, classes, scores))[: args.top]:
-        name = trainer.labelmap.get(int(c), str(int(c)))
-        print(f"{name:20s} {s:.3f}  [{b[0]:.1f}, {b[1]:.1f}, {b[2]:.1f}, {b[3]:.1f}]")
+        name = names.get(int(c), str(int(c)))
+        print(f"{name:24s} {s:.3f}  [{b[0]:.1f}, {b[1]:.1f}, {b[2]:.1f}, {b[3]:.1f}]")
 
 
 def _cmd_make_synthetic(args):
@@ -115,6 +158,10 @@ def main(argv=None):
     sp.add_argument("--image", required=True)
     sp.add_argument("--workdir", default=".")
     sp.add_argument("--top", type=int, default=10)
+    sp.add_argument("--queries", nargs="+", default=None,
+                    help="free-text queries -> zero-shot detection")
+    sp.add_argument("--query-image", default=None,
+                    help="exemplar image -> one-shot detection")
     sp.set_defaults(fn=_cmd_infer)
 
     sp = sub.add_parser("make-synthetic")

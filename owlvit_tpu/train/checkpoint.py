@@ -20,11 +20,20 @@ def _ckpt_path(directory: str, step: int) -> str:
     return os.path.join(os.path.abspath(directory), f"step_{step:08d}")
 
 
+def _prune_empty(tree):
+    """Orbax refuses zero-size arrays (e.g. an empty frozen-layers slice when
+    every encoder layer is trainable). Replace them with None placeholders;
+    restore keeps the template's (empty) values for those leaves."""
+    return jax.tree.map(
+        lambda x: None if getattr(x, "size", 1) == 0 else x, tree
+    )
+
+
 def save(directory: str, state: TrainState) -> str:
     step = int(state.step)
     path = _ckpt_path(directory, step)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, dict(state._asdict()), force=True)
+    ckptr.save(path, _prune_empty(dict(state._asdict())), force=True)
     ckptr.wait_until_finished()
     return path
 
@@ -46,11 +55,19 @@ def restore(directory: str, template: TrainState) -> Optional[TrainState]:
     if step is None:
         return None
     ckptr = ocp.StandardCheckpointer()
-    abstract = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(getattr(x, "shape", ()), x.dtype)
-        if hasattr(x, "dtype")
-        else x,
-        dict(template._asdict()),
+    tmpl = dict(template._asdict())
+    abstract = _prune_empty(
+        jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(getattr(x, "shape", ()), x.dtype)
+            if hasattr(x, "dtype")
+            else x,
+            tmpl,
+        )
     )
     restored = ckptr.restore(_ckpt_path(directory, step), abstract)
-    return TrainState(**restored)
+    # re-insert the template's zero-size leaves where we saved None
+    merged = jax.tree.map(
+        lambda t, r: t if r is None else r, tmpl, restored,
+        is_leaf=lambda x: x is None,
+    )
+    return TrainState(**merged)

@@ -97,3 +97,24 @@ def test_eval_metric_shape(trained):
     _, _, trainer, metrics = trained
     assert metrics["map_per_class"].shape == (3,)
     assert -1.0 <= metrics["map"] <= 1.0
+
+
+def test_checkpoint_zero_size_leaves(tmp_path):
+    """Orbax refuses zero-size arrays; our save/restore prunes and re-merges
+    them (happens when trainable_last_k == num_layers -> empty frozen slice)."""
+    import jax.numpy as jnp
+
+    from owlvit_tpu.train import checkpoint as ckpt
+    from owlvit_tpu.train.state import TrainState
+
+    state = TrainState(
+        trainable={"w": jnp.ones((2, 2)), "empty": jnp.zeros((0, 4))},
+        frozen={"f": jnp.ones((3,))},
+        opt_state=(jnp.zeros((2, 2)),),
+        step=jnp.int32(7),
+    )
+    ckpt.save(str(tmp_path), state)
+    r = ckpt.restore(str(tmp_path), state)
+    assert int(r.step) == 7
+    assert r.trainable["empty"].shape == (0, 4)
+    np.testing.assert_array_equal(np.asarray(r.trainable["w"]), np.ones((2, 2)))
