@@ -93,38 +93,61 @@ def attention(
     bias: Optional[jnp.ndarray] = None,
     causal: bool = False,
     impl: str = "xla",
+    valid_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """Multi-head self-attention. x: [B, S, D]; bias: additive [B, 1|H, S, S].
 
     impl="flash" routes to the Pallas TPU kernel (ops/flash_attention.py);
     "xla" uses a plain einsum softmax that XLA fuses well on any backend.
+    valid_len (flash only): real token count when x is pre-padded.
     """
     B, S, D = x.shape
     head_dim = D // num_heads
     scale = head_dim**-0.5
 
-    q = linear(p["q"], x).reshape(B, S, num_heads, head_dim)
-    k = linear(p["k"], x).reshape(B, S, num_heads, head_dim)
-    v = linear(p["v"], x).reshape(B, S, num_heads, head_dim)
-
     if impl == "flash" and (bias is not None or causal):
         impl = "xla"  # flash kernel covers the ViT path (no mask/bias)
 
     if impl == "flash":
-        from owlvit_tpu.ops.flash_attention import flash_attention
-
-        o = flash_attention(q, k, v, scale=scale, bias=bias, causal=causal)
-    else:
-        logits = jnp.einsum(
-            "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+        from owlvit_tpu.ops.flash_attention import (
+            flash_attention,
+            flash_attention_packed,
+            packed_supported,
         )
-        if causal:
-            mask = jnp.tril(jnp.ones((S, S), bool))
-            logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
-        if bias is not None:
-            logits = logits + bias.astype(logits.dtype)
-        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", w, v)
+
+        q2 = linear(p["q"], x)
+        k2 = linear(p["k"], x)
+        v2 = linear(p["v"], x)
+        if packed_supported(num_heads, head_dim, D):
+            # transpose-free kernel: head groups tiled by the grid
+            o2 = flash_attention_packed(
+                q2, k2, v2, scale=scale, num_heads=num_heads,
+                valid_len=valid_len,
+            )
+            return linear(p["out"], o2)
+        o = flash_attention(
+            q2.reshape(B, S, num_heads, head_dim),
+            k2.reshape(B, S, num_heads, head_dim),
+            v2.reshape(B, S, num_heads, head_dim),
+            scale=scale,
+            valid_len=valid_len,
+        )
+        return linear(p["out"], o.reshape(B, S, D))
+
+    q = linear(p["q"], x).reshape(B, S, num_heads, head_dim)
+    k = linear(p["k"], x).reshape(B, S, num_heads, head_dim)
+    v = linear(p["v"], x).reshape(B, S, num_heads, head_dim)
+
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+    if causal:
+        mask = jnp.tril(jnp.ones((S, S), bool))
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    if bias is not None:
+        logits = logits + bias.astype(logits.dtype)
+    w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", w, v)
 
     return linear(p["out"], o.reshape(B, S, D))
 
@@ -170,9 +193,13 @@ def encoder_block(
     bias=None,
     causal: bool = False,
     impl: str = "xla",
+    valid_len: Optional[int] = None,
 ) -> jnp.ndarray:
     h = layer_norm(p["ln1"], x, eps)
-    h = attention(p["attn"], h, num_heads, bias=bias, causal=causal, impl=impl)
+    h = attention(
+        p["attn"], h, num_heads, bias=bias, causal=causal, impl=impl,
+        valid_len=valid_len,
+    )
     x = x + h
     h = layer_norm(p["ln2"], x, eps)
     h = mlp(p["mlp"], h)
@@ -189,13 +216,15 @@ def encoder(
     causal: bool = False,
     impl: str = "xla",
     remat: bool = False,
+    valid_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """Run the stacked encoder with lax.scan (one trace for all layers)."""
 
     def body(h, layer_p):
         return (
             encoder_block(
-                layer_p, h, num_heads, eps, bias=bias, causal=causal, impl=impl
+                layer_p, h, num_heads, eps, bias=bias, causal=causal, impl=impl,
+                valid_len=valid_len,
             ),
             None,
         )

@@ -79,10 +79,29 @@ def forward(
 
     x = layer_norm(params["pre_ln"], x, cfg.layer_norm_eps)
 
-    kwargs = dict(eps=cfg.layer_norm_eps, impl=attention_impl, remat=remat)
+    # Flash path: pad the token axis to the kernel's block multiple ONCE,
+    # outside the layer scan — padded rows are row-local garbage everywhere
+    # (LN/MLP/residual) and masked as attention KEYS via valid_len, so real
+    # rows are exact; sliced off after the stack. This removes per-layer
+    # pad/slice traffic (profiled at ~15% of the train step).
+    S_real = x.shape[1]
+    valid_len = None
+    if attention_impl == "flash":
+        from owlvit_tpu.ops.flash_attention import BLOCK_Q
+
+        S_pad = ((S_real + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
+        if S_pad != S_real:
+            x = jnp.pad(x, ((0, 0), (0, S_pad - S_real), (0, 0)))
+            valid_len = S_real
+
+    kwargs = dict(
+        eps=cfg.layer_norm_eps, impl=attention_impl, remat=remat,
+        valid_len=valid_len,
+    )
     k = trainable_last_k
     if k is None or k >= cfg.num_layers:
-        return encoder(params["layers"], x, cfg.num_heads, **kwargs)
+        x = encoder(params["layers"], x, cfg.num_heads, **kwargs)
+        return x[:, :S_real]
 
     split = cfg.num_layers - k
     head = jax.tree.map(lambda a: a[:split], params["layers"])
@@ -90,4 +109,4 @@ def forward(
     if k > 0:
         tail = jax.tree.map(lambda a: a[split:], params["layers"])
         x = encoder(tail, x, cfg.num_heads, **kwargs)
-    return x
+    return x[:, :S_real]

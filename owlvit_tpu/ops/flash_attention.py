@@ -253,17 +253,252 @@ def _flash3_fwd(q3, k3, v3, scale, s_real):
 _flash3.defvjp(_flash3_fwd, _bwd)
 
 
-def flash_attention(q, k, v, *, scale, bias=None, causal=False):
-    """q/k/v: [B, S, H, hd] -> [B, S, H, hd]. Non-causal, no bias."""
+def flash_attention(q, k, v, *, scale, bias=None, causal=False, valid_len=None):
+    """q/k/v: [B, S, H, hd] -> [B, S, H, hd]. Non-causal, no bias.
+
+    valid_len: number of real tokens (keys beyond it are masked). When the
+    caller pre-pads S to a BLOCK_Q multiple (vit.forward does this ONCE
+    outside the layer scan), no per-call padding happens here.
+    """
     if bias is not None or causal:
         raise NotImplementedError("flash path is for the ViT (no mask/bias)")
     B, S, H, hd = q.shape
+    s_real = int(valid_len) if valid_len is not None else S
     S_pad = ((S + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
 
     def to3(x):
         x = x.transpose(0, 2, 1, 3).reshape(B * H, S, hd)
         return _pad_to(x, S_pad, axis=1)
 
-    o = _flash3(to3(q), to3(k), to3(v), float(scale), S)
+    o = _flash3(to3(q), to3(k), to3(v), float(scale), s_real)
     o = o[:, :S].reshape(B, H, S, hd).transpose(0, 2, 1, 3)
     return o
+
+
+# --------------------------------------------------------------------------
+# Packed (transpose-free) path: q/k/v stay [B, S, D]; the grid tiles
+# (batch, head-group, query-block) and each program sees only its group's
+# lane slice of K/V, so VMEM holds a few MB even for L/14. Eliminates the
+# [B,S,H,hd]<->[B*H,S,hd] layout copies that profiling showed at ~10% of the
+# train step.
+# --------------------------------------------------------------------------
+
+GROUP_LANES = 128  # lanes (features) per head-group block; 2 heads at hd=64
+
+
+def _group_heads(num_heads: int, head_dim: int) -> int:
+    """Heads per group such that group lanes <= GROUP_LANES (>=1)."""
+    return max(1, min(num_heads, GROUP_LANES // head_dim))
+
+
+def _pk_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, s_real, hg, hd):
+    q = q_ref[0]  # [BQ, hg*hd]
+    k = k_ref[0]  # [S_pad, hg*hd]
+    v = v_ref[0]
+    outs, lses = [], []
+    for h in range(hg):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh = q[:, sl].astype(jnp.float32)
+        kh = k[:, sl].astype(jnp.float32)
+        vh = v[:, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qh * scale, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < s_real, s, _NEG)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        oh = jax.lax.dot_general(
+            p, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) / l
+        outs.append(oh)
+        lses.append(m + jnp.log(l))
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+    lse_ref[0, 0] = jnp.concatenate(lses, axis=-1)  # [BQ, hg]
+
+
+def _pk_specs(S_pad, D, BQ, lanes):
+    """(q-block, kv-block, o-block) BlockSpecs over [B, S_pad, D] with grid
+    (B, G, S_pad//BQ)."""
+    qspec = pl.BlockSpec((1, BQ, lanes), lambda b, g, i: (b, i, g),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, S_pad, lanes), lambda b, g, i: (b, 0, g),
+                          memory_space=pltpu.VMEM)
+    return qspec, kvspec
+
+
+def _pk_fwd(q2, k2, v2, scale, s_real, H, hd):
+    B, S_pad, D = q2.shape
+    hg = _group_heads(H, hd)
+    G = H // hg
+    lanes = hg * hd
+    qspec, kvspec = _pk_specs(S_pad, D, BLOCK_Q, lanes)
+    kern = functools.partial(
+        _pk_fwd_kernel, scale=scale, s_real=s_real, hg=hg, hd=hd
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(B, G, S_pad // BLOCK_Q),
+        in_specs=[qspec, kvspec, kvspec],
+        out_specs=[
+            qspec,
+            pl.BlockSpec((1, 1, BLOCK_Q, hg), lambda b, g, i: (b, g, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S_pad, D), q2.dtype),
+            jax.ShapeDtypeStruct((B, G, S_pad, hg), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(q2, k2, v2)
+
+
+def _pk_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                  *, scale, s_real, hg, hd):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    dqs = []
+    for h in range(hg):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh = q[:, sl].astype(jnp.float32)
+        kh = k[:, sl].astype(jnp.float32)
+        vh = v[:, sl].astype(jnp.float32)
+        doh = do[:, sl].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, h][:, None]
+        delta = delta_ref[0, 0][:, h][:, None]
+        s = jax.lax.dot_general(qh * scale, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < s_real, s, _NEG)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dqs.append(jax.lax.dot_general(ds, kh, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32))
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
+
+
+def _pk_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dk_ref, dv_ref, *, scale, s_real, hg, hd):
+    q = q_ref[0]       # [S_pad, lanes] (all queries, this group's lanes)
+    k = k_ref[0]       # [BK, lanes]
+    v = v_ref[0]
+    do = do_ref[0]     # [S_pad, lanes]
+    dks, dvs = [], []
+    for h in range(hg):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh = q[:, sl].astype(jnp.float32)
+        kh = k[:, sl].astype(jnp.float32)
+        vh = v[:, sl].astype(jnp.float32)
+        doh = do[:, sl].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, h][:, None]   # [S_pad, 1]
+        delta = delta_ref[0, 0][:, h][:, None]
+        s = jax.lax.dot_general(qh * scale, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [S_pad, BK]
+        kcol = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + (
+            pl.program_id(2) * k.shape[0]
+        )
+        s = jnp.where(kcol < s_real, s, _NEG)
+        qrow = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        p = jnp.where(qrow < s_real, jnp.exp(s - lse), 0.0)
+        dvs.append(jax.lax.dot_general(p, doh, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32))
+        dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dks.append(jax.lax.dot_general(ds, qh, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32))
+    dk_ref[0] = jnp.concatenate(dks, axis=-1).astype(dk_ref.dtype)
+    dv_ref[0] = jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
+
+
+def _pk_bwd(scale, s_real, H, hd, res, g):
+    q2, k2, v2, o2, lse = res
+    B, S_pad, D = q2.shape
+    hg = _group_heads(H, hd)
+    G = H // hg
+    lanes = hg * hd
+    do2 = g
+    # per-(row, head) delta, shaped like lse: [B, G, S_pad, hg]
+    delta = jnp.sum(
+        (do2.astype(jnp.float32) * o2.astype(jnp.float32)).reshape(
+            B, S_pad, G, hg, hd
+        ),
+        axis=-1,
+    ).transpose(0, 2, 1, 3)  # [B, G, S_pad, hg]
+
+    qspec, kvspec = _pk_specs(S_pad, D, BLOCK_Q, lanes)
+    lse_qblock = pl.BlockSpec((1, 1, BLOCK_Q, hg), lambda b, g, i: (b, g, i, 0),
+                              memory_space=pltpu.VMEM)
+    lse_full = pl.BlockSpec((1, 1, S_pad, hg), lambda b, g, i: (b, g, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_pk_dq_kernel, scale=scale, s_real=s_real, hg=hg, hd=hd),
+        grid=(B, G, S_pad // BLOCK_Q),
+        in_specs=[qspec, kvspec, kvspec, qspec, lse_qblock, lse_qblock],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((B, S_pad, D), q2.dtype),
+        interpret=_interpret(),
+    )(q2, k2, v2, do2, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_pk_dkv_kernel, scale=scale, s_real=s_real, hg=hg, hd=hd),
+        grid=(B, G, S_pad // BLOCK_Q),
+        in_specs=[kvspec, qspec, qspec, kvspec, lse_full, lse_full],
+        out_specs=[qspec, qspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S_pad, D), k2.dtype),
+            jax.ShapeDtypeStruct((B, S_pad, D), v2.dtype),
+        ],
+        interpret=_interpret(),
+    )(q2, k2, v2, do2, lse, delta)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_packed(q2, k2, v2, scale, s_real, H, hd):
+    o, _ = _pk_fwd(q2, k2, v2, scale, s_real, H, hd)
+    return o
+
+
+def _flash_packed_fwd(q2, k2, v2, scale, s_real, H, hd):
+    o, lse = _pk_fwd(q2, k2, v2, scale, s_real, H, hd)
+    return o, (q2, k2, v2, o, lse)
+
+
+_flash_packed.defvjp(_flash_packed_fwd, _pk_bwd)
+
+
+def packed_supported(num_heads: int, head_dim: int, D: int) -> bool:
+    """EXPERIMENTAL: the transpose-free grouped kernel is numerically correct
+    (interpret-mode fwd/bwd parity tests) but has hit Mosaic VMEM sizing and
+    a device fault at B/16 scale on v5e through the remote compiler; it is
+    off by default until that is root-caused. Enable with
+    OWLVIT_PACKED_FLASH=1. The default transposed path is the measured
+    configuration in BENCH.md."""
+    import os
+
+    if os.environ.get("OWLVIT_PACKED_FLASH") != "1":
+        return False
+    hg = _group_heads(num_heads, head_dim)
+    return num_heads % hg == 0 and hg * head_dim <= D
+
+
+def flash_attention_packed(q2, k2, v2, *, scale, num_heads, valid_len=None):
+    """q2/k2/v2: [B, S, D] (D = H*hd), no layout change. S should already be
+    a BLOCK_Q multiple (vit.forward pads once); pads here otherwise."""
+    B, S, D = q2.shape
+    hd = D // num_heads
+    s_real = int(valid_len) if valid_len is not None else S
+    S_pad = ((S + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
+    q2 = _pad_to(q2, S_pad, axis=1)
+    k2 = _pad_to(k2, S_pad, axis=1)
+    v2 = _pad_to(v2, S_pad, axis=1)
+    o = _flash_packed(q2, k2, v2, float(scale), s_real, int(num_heads), hd)
+    return o[:, :S]

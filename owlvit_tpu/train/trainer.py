@@ -98,7 +98,21 @@ class Trainer:
                 jax.random.PRNGKey(cfg.training.seed), self.model_cfg
             )
         if "queries" not in params:
-            params["queries"] = np.asarray(self._build_query_bank(params))
+            will_restore = cfg.training.checkpoint_dir and (
+                ckpt.latest_step(cfg.training.checkpoint_dir) is not None
+            )
+            if will_restore:
+                # checkpoint overwrites the bank below — skip the text-encoder
+                # compile (the expensive part of cold inference setup)
+                params["queries"] = np.asarray(
+                    jax.random.normal(
+                        jax.random.PRNGKey(cfg.training.seed),
+                        (3 * self.n_classes, self.model_cfg.projection_dim),
+                    )
+                    * 0.02
+                )
+            else:
+                params["queries"] = np.asarray(self._build_query_bank(params))
 
         # --- optimizer over the trainable partition only --------------------
         trainable, frozen = partition_params(params, cfg.model.trainable_last_k)

@@ -84,3 +84,45 @@ def test_model_integration_flash_vs_xla(rng):
     bf, sf = owlvit.forward_train(params, cfg_f, jnp.asarray(img))
     np.testing.assert_allclose(np.asarray(bf), np.asarray(bx), rtol=3e-4, atol=3e-5)
     np.testing.assert_allclose(np.asarray(sf), np.asarray(sx), rtol=3e-4, atol=3e-5)
+
+
+def test_packed_matches_reference_fwd_bwd(rng, monkeypatch):
+    monkeypatch.setenv("OWLVIT_PACKED_FLASH", "1")
+    from owlvit_tpu.ops.flash_attention import flash_attention_packed
+
+    B, S, H, hd = 2, 130, 4, 64
+    D = H * hd
+    q2, k2, v2 = (rng.normal(size=(B, S, D)).astype(np.float32) for _ in range(3))
+    scale = hd**-0.5
+    co = rng.normal(size=(B, S, D)).astype(np.float32)
+
+    def split(x):
+        return x.reshape(B, S, H, hd)
+
+    def f_packed(q, k, v):
+        return jnp.sum(
+            flash_attention_packed(q, k, v, scale=scale, num_heads=H) * co
+        )
+
+    def f_ref(q, k, v):
+        o = ref_attention(split(q), split(k), split(v), scale)
+        return jnp.sum(o.reshape(B, S, D) * co)
+
+    o_p = flash_attention_packed(
+        jnp.asarray(q2), jnp.asarray(k2), jnp.asarray(v2), scale=scale, num_heads=H
+    )
+    o_r = ref_attention(
+        jnp.asarray(split(q2)), jnp.asarray(split(k2)), jnp.asarray(split(v2)), scale
+    ).reshape(B, S, D)
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_r), rtol=2e-4, atol=2e-5)
+
+    g_p = jax.grad(f_packed, argnums=(0, 1, 2))(
+        jnp.asarray(q2), jnp.asarray(k2), jnp.asarray(v2)
+    )
+    g_r = jax.grad(f_ref, argnums=(0, 1, 2))(
+        jnp.asarray(q2), jnp.asarray(k2), jnp.asarray(v2)
+    )
+    for a, b, n in zip(g_p, g_r, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5, err_msg=n
+        )

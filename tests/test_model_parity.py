@@ -230,3 +230,20 @@ def test_npz_roundtrip(hf_and_ours, tmp_path, pixels):
     a = np.asarray(owlvit.image_embedder(params, cfg, jnp.asarray(pixels[:1])))
     b = np.asarray(owlvit.image_embedder(loaded, cfg, jnp.asarray(pixels[:1])))
     np.testing.assert_array_equal(a, b)
+
+
+def test_bf16_forward_close_to_fp32(hf_and_ours, pixels):
+    """bf16 compute policy must track fp32 within bf16 tolerance."""
+    _, params, cfg = hf_and_ours
+    import jax.numpy as jnp
+
+    params = dict(params)
+    params["queries"] = np.random.default_rng(9).normal(
+        size=(6, cfg.projection_dim)
+    ).astype(np.float32)
+    b32, s32 = owlvit.forward_train(params, cfg, jnp.asarray(pixels))
+    cfg16 = cfg.replace(dtype="bfloat16")
+    b16, s16 = owlvit.forward_train(params, cfg16, jnp.asarray(pixels))
+    assert b16.dtype == jnp.float32  # boxes decoded in fp32
+    np.testing.assert_allclose(np.asarray(b16), np.asarray(b32), atol=0.05)
+    np.testing.assert_allclose(np.asarray(s16), np.asarray(s32), atol=0.05)
