@@ -80,11 +80,6 @@ def shard_state(state, mesh: Mesh):
 
     t_specs = param_specs(state.trainable)
 
-    def opt_entry(x):
-        # optax adamw state mirrors the param tree inside ScaleByAdamState;
-        # match shapes by structure where possible, else replicate.
-        return x
-
     # Shard optimizer moments with the same specs as their params.
     def shard_opt(opt_state):
         def try_shard(node):
