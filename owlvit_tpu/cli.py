@@ -129,6 +129,20 @@ def _cmd_make_coco_subset(args):
                       "counts": out["counts"]}, indent=2))
 
 
+def _cmd_export(args):
+    """Export the (optionally fine-tuned) detector as a serving artifact."""
+    from owlvit_tpu.train import Trainer
+    from owlvit_tpu.train.export import export_detector, save_exported
+    from owlvit_tpu.train.state import combine_params
+    from owlvit_tpu.utils.config import load_config
+
+    trainer = Trainer(load_config(args.config), workdir=args.workdir)
+    params = combine_params(trainer.state.trainable, trainer.state.frozen)
+    blob = export_detector(params, trainer.model_cfg, batch_size=args.batch_size)
+    save_exported(args.out, blob)
+    print(f"wrote {args.out} ({len(blob)} bytes)")
+
+
 def _cmd_convert(args):
     """Offline HF -> npz conversion (torch/transformers allowed here only)."""
     from transformers import OwlViTForObjectDetection
@@ -177,6 +191,13 @@ def main(argv=None):
     sp.add_argument("--out-dir", default="data")
     sp.add_argument("--seed", type=int, default=0)
     sp.set_defaults(fn=_cmd_make_coco_subset)
+
+    sp = sub.add_parser("export")
+    sp.add_argument("--config", required=True)
+    sp.add_argument("--workdir", default=".")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--batch-size", type=int, default=1)
+    sp.set_defaults(fn=_cmd_export)
 
     sp = sub.add_parser("convert")
     sp.add_argument("--model", default="b32")

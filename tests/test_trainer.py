@@ -118,3 +118,33 @@ def test_checkpoint_zero_size_leaves(tmp_path):
     assert int(r.step) == 7
     assert r.trainable["empty"].shape == (0, 4)
     np.testing.assert_array_equal(np.asarray(r.trainable["w"]), np.ones((2, 2)))
+
+
+def test_export_roundtrip():
+    """jax.export serving artifact: serialize -> deserialize -> same outputs."""
+    import jax.numpy as jnp
+
+    from owlvit_tpu.train.export import export_detector, load_exported
+
+    cfg = get_config("tiny")
+    params = owlvit.init(jax.random.PRNGKey(0), cfg, num_queries=6)
+    blob = export_detector(params, cfg, batch_size=2)
+    assert isinstance(blob, bytes) and len(blob) > 1000
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(
+        0, 255, size=(2, cfg.vision.image_size, cfg.vision.image_size, 3),
+        dtype=np.uint8,
+    )
+    fn = load_exported(blob)
+    boxes_e, sims_e = fn(imgs)
+
+    px = jnp.asarray(imgs).astype(jnp.float32) / 255.0
+    from owlvit_tpu.ops.preprocess import CLIP_MEAN, CLIP_STD
+
+    px = (px - CLIP_MEAN) / CLIP_STD
+    boxes_r, sims_r = owlvit.forward_train(
+        params, cfg.replace(trainable_last_k=None), px
+    )
+    np.testing.assert_allclose(np.asarray(boxes_e), np.asarray(boxes_r), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sims_e), np.asarray(sims_r), rtol=1e-5, atol=1e-6)
