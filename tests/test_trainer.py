@@ -148,3 +148,47 @@ def test_export_roundtrip():
     )
     np.testing.assert_allclose(np.asarray(boxes_e), np.asarray(boxes_r), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(sims_e), np.asarray(sims_r), rtol=1e-5, atol=1e-6)
+
+
+def test_trainable_last_k_grads_match_full_model():
+    """The stop_gradient split must not change the gradients of the layers
+    that DO train: grads of the tail layers under trainable_last_k=1 equal
+    the corresponding slice of full-model grads."""
+    import jax.numpy as jnp
+
+    cfg_split = get_config("tiny").replace(trainable_last_k=1)
+    cfg_full = get_config("tiny")  # no split
+    params = owlvit.init(jax.random.PRNGKey(3), cfg_split, num_queries=6)
+    img = jnp.asarray(
+        np.random.default_rng(4).normal(size=(1, 96, 96, 3)), jnp.float32
+    )
+
+    def loss_split(tr, fz):
+        p = combine_params(tr, fz)
+        b, s = owlvit.forward_train(p, cfg_split, img)
+        return jnp.sum(b * b) + jnp.sum(s * s)
+
+    def loss_full(p):
+        b, s = owlvit.forward_train(p, cfg_full, img)
+        return jnp.sum(b * b) + jnp.sum(s * s)
+
+    tr, fz = partition_params(params, 1)
+    g_split = jax.grad(loss_split)(tr, fz)
+    g_full = jax.grad(loss_full)(params)
+
+    L = cfg_split.vision.num_layers
+    tail_full = jax.tree.map(lambda a: a[L - 1 :], g_full["vision"]["layers"])
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_split["vision"]["layers_tail"]),
+        jax.tree_util.tree_leaves_with_path(tail_full),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(ka),
+        )
+    # heads too
+    np.testing.assert_allclose(
+        np.asarray(g_split["box_head"]["dense2"]["kernel"]),
+        np.asarray(g_full["box_head"]["dense2"]["kernel"]),
+        rtol=1e-4, atol=1e-6,
+    )
