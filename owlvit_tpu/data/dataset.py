@@ -45,6 +45,15 @@ class DetectionDataset:
         # Drop images without annotations (reference dataset.py:33-34).
         self.items = [(k, v) for k, v in data.items() if len(v)]
         self.n_dropped = n_total - len(self.items)
+        # Fixed shapes require capping GT per image; count what the cap cuts
+        # (COCO images can carry >64 annotations — surface it, don't hide it).
+        self.n_truncated = sum(1 for _, v in self.items if len(v) > max_gt)
+        if self.n_truncated:
+            print(
+                f"warning: {self.n_truncated}/{len(self.items)} images have "
+                f">{max_gt} boxes; extra GT is dropped (raise data.max_gt)",
+                flush=True,
+            )
 
     def __len__(self) -> int:
         return len(self.items)

@@ -192,3 +192,32 @@ def test_trainable_last_k_grads_match_full_model():
         np.asarray(g_full["box_head"]["dense2"]["kernel"]),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_save_eval_images(tmp_path):
+    """save_eval_images writes per-epoch box-overlay PNGs (reference
+    main.py:130-141 debug dump)."""
+    import os
+
+    from owlvit_tpu.utils.config import Config, DataConfig, ModelConfig, TrainingConfig
+    from owlvit_tpu.train import Trainer
+
+    root = str(tmp_path)
+    cfg = Config(
+        data=DataConfig(
+            synthetic_root=os.path.join(root, "synth"),
+            num_train_images=4, num_test_images=2, max_gt=8,
+            synthetic_classes=2,
+        ),
+        training=TrainingConfig(
+            n_epochs=1, learning_rate=1e-4, batch_size=2,
+            checkpoint_dir=None, log_file=None, top_k=8,
+            save_eval_images=True, confidence_threshold=-10.0,  # force boxes
+        ),
+        model=ModelConfig(name="tiny", trainable_last_k=1),
+    )
+    t = Trainer(cfg, workdir=root)
+    t.run()
+    debug = os.path.join(root, "debug", "0")
+    assert os.path.isdir(debug)
+    assert len(os.listdir(debug)) == 2  # one overlay per test image
