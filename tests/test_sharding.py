@@ -104,3 +104,17 @@ def test_full_train_step_on_mesh(rng):
     a = jax.tree_util.tree_leaves(state.trainable)[0]
     b = jax.tree_util.tree_leaves(new_state.trainable)[0]
     assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("n", [1, 2, 4, 8])
+def test_dryrun_multichip_device_counts(n):
+    """__graft_entry__.dryrun_multichip must work for any divisor count the
+    driver passes (subset of the 8 virtual CPU devices)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "__graft_entry__.py"
+    )
+    graft = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(graft)
+    graft.dryrun_multichip(n)
