@@ -34,7 +34,13 @@ class DetectionDataset:
         images_dir: str,
         image_size: int = 768,
         max_gt: int = 64,
+        cache_resized: bool = False,
     ):
+        """cache_resized: materialize decoded+resized uint8 images into an
+        on-disk memmap once, then serve epochs at memcpy speed. The reference
+        re-decodes and re-resizes every image every epoch (dataset.py:60-73);
+        on few-core hosts that binds the whole train loop (~82 img/s on one
+        core vs ~97 img/s device throughput at B/16)."""
         self.images_dir = images_dir
         self.image_size = image_size
         self.max_gt = max_gt
@@ -54,6 +60,10 @@ class DetectionDataset:
                 f">{max_gt} boxes; extra GT is dropped (raise data.max_gt)",
                 flush=True,
             )
+
+        self._cache = None
+        if cache_resized:
+            self._build_cache(annotations_file)
 
     def __len__(self) -> int:
         return len(self.items)
@@ -77,12 +87,53 @@ class DetectionDataset:
         scales = np.round(np.log(mx / safe) + 3.0, 1)
         return scales.astype(np.float32)
 
-    def _load_image(self, path_key: str) -> tuple[np.ndarray, int, int]:
+    def _build_cache(self, annotations_file: str) -> None:
+        S, N = self.image_size, len(self.items)
+        base = f"{annotations_file}.cache_{S}"
+        arr_path, meta_path = base + ".npy", base + ".json"
+        keys = [k for k, _ in self.items]
+        if os.path.exists(arr_path) and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta.get("keys") == keys:
+                self._cache = np.lib.format.open_memmap(arr_path, mode="r")
+                self._sizes = np.asarray(meta["sizes"], np.int32)
+                return
+        cache = np.lib.format.open_memmap(
+            arr_path, mode="w+", dtype=np.uint8, shape=(N, S, S, 3)
+        )
+        sizes = np.zeros((N, 2), np.int32)
+        for i, key in enumerate(keys):
+            img, w, h = self._decode_resize(key)
+            cache[i] = img
+            sizes[i] = (w, h)
+        cache.flush()
+        with open(meta_path, "w") as f:
+            json.dump({"keys": keys, "sizes": sizes.tolist()}, f)
+        self._cache = np.lib.format.open_memmap(arr_path, mode="r")
+        self._sizes = sizes
+        print(f"resized-image cache built: {arr_path} ({N} images)", flush=True)
+
+    def _decode_resize(self, path_key: str) -> tuple[np.ndarray, int, int]:
         path = os.path.join(self.images_dir, os.path.basename(path_key))
         img = Image.open(path).convert("RGB")
         w, h = img.size
         img = img.resize((self.image_size, self.image_size), Image.BICUBIC)
         return np.asarray(img, np.uint8), w, h
+
+    def _load_image(self, path_key: str) -> tuple[np.ndarray, int, int]:
+        if self._cache is not None:
+            idx = self._key_index.get(path_key)
+            if idx is not None:
+                w, h = self._sizes[idx]
+                return np.asarray(self._cache[idx]), int(w), int(h)
+        return self._decode_resize(path_key)
+
+    @property
+    def _key_index(self) -> dict:
+        if not hasattr(self, "_key_index_map"):
+            self._key_index_map = {k: i for i, (k, _) in enumerate(self.items)}
+        return self._key_index_map
 
     def __getitem__(self, idx: int) -> dict:
         key, anns = self.items[idx]

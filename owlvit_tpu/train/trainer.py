@@ -84,10 +84,12 @@ class Trainer:
         size = self.model_cfg.vision.image_size
 
         self.train_ds = DetectionDataset(
-            d.train_annotations, d.images_path, image_size=size, max_gt=d.max_gt
+            d.train_annotations, d.images_path, image_size=size,
+            max_gt=d.max_gt, cache_resized=d.cache_resized,
         )
         self.test_ds = DetectionDataset(
-            d.test_annotations, d.images_path, image_size=size, max_gt=d.max_gt
+            d.test_annotations, d.images_path, image_size=size,
+            max_gt=d.max_gt, cache_resized=d.cache_resized,
         )
 
         # --- params ---------------------------------------------------------

@@ -24,6 +24,7 @@ class DataConfig:
     num_train_images: int = 2500
     num_test_images: int = 100
     max_gt: int = 64
+    cache_resized: bool = False  # memmap cache of decoded+resized images
     synthetic_root: Optional[str] = None  # if set, generate+use synthetic data
     synthetic_classes: int = 4
 

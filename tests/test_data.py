@@ -138,3 +138,35 @@ def test_clip_bpe_tokenizer(tmp_path):
     assert ids[1, 1] == vocab["cat</w>"]
     assert ids[0, 1] == vocab["cat</w>"] and ids[0, 2] == vocab["photo</w>"]
     assert ids[0, 3] == vocab["<|endoftext|>"]
+
+
+def test_cache_resized_roundtrip(synth):
+    """Memmap cache serves identical samples and survives re-open."""
+    import time
+
+    ds_plain = DetectionDataset(synth["train"], synth["images_dir"],
+                                image_size=96, max_gt=8)
+    ds_cached = DetectionDataset(synth["train"], synth["images_dir"],
+                                 image_size=96, max_gt=8, cache_resized=True)
+    for i in [0, 3, 9]:
+        a, b = ds_plain[i], ds_cached[i]
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["boxes"], b["boxes"])
+        assert a["width"] == b["width"] and a["height"] == b["height"]
+
+    # second construction reuses the cache file (no rebuild print needed,
+    # just correctness)
+    ds_again = DetectionDataset(synth["train"], synth["images_dir"],
+                                image_size=96, max_gt=8, cache_resized=True)
+    np.testing.assert_array_equal(ds_again[5]["image"], ds_plain[5]["image"])
+
+    # cached epochs are faster than decode+resize epochs
+    t0 = time.time()
+    for i in range(len(ds_plain)):
+        _ = ds_plain[i]
+    t_plain = time.time() - t0
+    t0 = time.time()
+    for i in range(len(ds_cached)):
+        _ = ds_cached[i]
+    t_cached = time.time() - t0
+    assert t_cached < t_plain
