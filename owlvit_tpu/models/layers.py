@@ -111,7 +111,9 @@ def attention(
     if impl == "flash":
         from owlvit_tpu.ops.flash_attention import (
             flash_attention,
+            flash_attention_hybrid,
             flash_attention_packed,
+            hybrid_supported,
             packed_supported,
         )
 
@@ -119,8 +121,15 @@ def attention(
         k2 = linear(p["k"], x)
         v2 = linear(p["v"], x)
         if packed_supported(num_heads, head_dim, D):
-            # transpose-free kernel: head groups tiled by the grid
+            # fully transpose-free (experimental, see packed_supported)
             o2 = flash_attention_packed(
+                q2, k2, v2, scale=scale, num_heads=num_heads,
+                valid_len=valid_len,
+            )
+            return linear(p["out"], o2)
+        if hybrid_supported(num_heads, head_dim, D):
+            # packed forward (no layout copies), transposed backward
+            o2 = flash_attention_hybrid(
                 q2, k2, v2, scale=scale, num_heads=num_heads,
                 valid_len=valid_len,
             )

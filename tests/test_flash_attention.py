@@ -126,3 +126,37 @@ def test_packed_matches_reference_fwd_bwd(rng, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5, err_msg=n
         )
+
+
+def test_hybrid_matches_reference_fwd_bwd(rng):
+    from owlvit_tpu.ops.flash_attention import flash_attention_hybrid
+
+    B, S, H, hd = 2, 130, 4, 64
+    D = H * hd
+    q2, k2, v2 = (rng.normal(size=(B, S, D)).astype(np.float32) for _ in range(3))
+    scale = hd**-0.5
+    co = rng.normal(size=(B, S, D)).astype(np.float32)
+
+    def split(x):
+        return x.reshape(B, S, H, hd)
+
+    o_h = flash_attention_hybrid(
+        jnp.asarray(q2), jnp.asarray(k2), jnp.asarray(v2), scale=scale, num_heads=H
+    )
+    o_r = ref_attention(
+        jnp.asarray(split(q2)), jnp.asarray(split(k2)), jnp.asarray(split(v2)), scale
+    ).reshape(B, S, D)
+    np.testing.assert_allclose(np.asarray(o_h), np.asarray(o_r), rtol=2e-4, atol=2e-5)
+
+    def f_h(q, k, v):
+        return jnp.sum(flash_attention_hybrid(q, k, v, scale=scale, num_heads=H) * co)
+
+    def f_r(q, k, v):
+        return jnp.sum(ref_attention(split(q), split(k), split(v), scale).reshape(B, S, D) * co)
+
+    g_h = jax.grad(f_h, argnums=(0, 1, 2))(jnp.asarray(q2), jnp.asarray(k2), jnp.asarray(v2))
+    g_r = jax.grad(f_r, argnums=(0, 1, 2))(jnp.asarray(q2), jnp.asarray(k2), jnp.asarray(v2))
+    for a, b, n in zip(g_h, g_r, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5, err_msg=n
+        )
