@@ -212,6 +212,13 @@ class Trainer:
         class_maps = {name: [] for name in self.labelmap.values()}
         last_val = {}
 
+        if len(self.train_ds) < t.batch_size:
+            raise ValueError(
+                f"training.batch_size={t.batch_size} exceeds the train set "
+                f"({len(self.train_ds)} images) — every epoch would drop the "
+                f"ragged remainder and train on nothing"
+            )
+
         profiling = None
         for epoch in range(t.n_epochs):
             acc.reset()

@@ -221,3 +221,24 @@ def test_save_eval_images(tmp_path):
     debug = os.path.join(root, "debug", "0")
     assert os.path.isdir(debug)
     assert len(os.listdir(debug)) == 2  # one overlay per test image
+
+
+def test_batch_size_exceeding_dataset_raises(tmp_path):
+    import os
+
+    from owlvit_tpu.utils.config import Config, DataConfig, ModelConfig, TrainingConfig
+    from owlvit_tpu.train import Trainer
+
+    cfg = Config(
+        data=DataConfig(
+            synthetic_root=os.path.join(str(tmp_path), "synth"),
+            num_train_images=3, num_test_images=1, max_gt=8,
+            synthetic_classes=2,
+        ),
+        training=TrainingConfig(n_epochs=1, batch_size=8, checkpoint_dir=None,
+                                log_file=None),
+        model=ModelConfig(name="tiny"),
+    )
+    t = Trainer(cfg, workdir=str(tmp_path))
+    with pytest.raises(ValueError, match="batch_size"):
+        t.run()
