@@ -9,8 +9,9 @@ Hungarian match -> PushPull loss -> AdamW on the reference's trainable set).
 vs_baseline: the reference publishes NO numbers (BASELINE.md) and its CUDA
 stack cannot run here, so the baseline is the reference's ALGORITHMIC
 configuration measured on the same chip: fp32, batch=1, full-precision
-matmuls, no freeze-aware backward skipping — i.e., a faithful port of
-main.py's per-step math. vs_baseline = headline / that.
+matmuls, trainable_last_k=1 — matching the reference's actual autograd
+work (its frozen params have requires_grad=False, so torch never backprops
+through layers 0..10 and AdamW skips them). vs_baseline = headline / that.
 
 Env knobs: BENCH_BATCH (default 32), BENCH_STEPS (default 20),
 BENCH_MODEL (default b16), BENCH_SKIP_BASELINE=1 to skip the slow fp32 ref.
@@ -116,9 +117,11 @@ def main():
 
     vs_baseline = None
     if os.environ.get("BENCH_SKIP_BASELINE") != "1":
-        # Reference-equivalent config: fp32, batch=1, full backward.
+        # Reference-equivalent config: fp32, batch=1, backward only through
+        # the last layer (the reference's requires_grad=False set means torch
+        # never builds the frozen layers' backward either).
         ref_steps = max(4, n_steps // 4)
-        step_r, state_r, data_r = _build(model, 1, "float32", trainable_last_k=None)
+        step_r, state_r, data_r = _build(model, 1, "float32", trainable_last_k=1)
         sps_r, loss_r = _measure(step_r, state_r, data_r, ref_steps)
         assert np.isfinite(loss_r)
         vs_baseline = imgs_per_sec / (sps_r * 1.0)

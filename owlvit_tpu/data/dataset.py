@@ -183,7 +183,10 @@ def batch_iterator(
             if not pad_final:
                 return
             valid[len(idxs) :] = False
-            idxs = np.concatenate([idxs, order[: batch_size - len(idxs)]])
+            # np.resize wraps, so this is correct even when the whole dataset
+            # is smaller than one batch (order alone would be too short).
+            pad = np.resize(order, batch_size - len(idxs))
+            idxs = np.concatenate([idxs, pad])
         samples = [dataset[int(i)] for i in idxs]
         batch = {
             k: np.stack([s[k] for s in samples])

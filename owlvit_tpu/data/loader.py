@@ -19,6 +19,7 @@ def prefetch_to_device(iterator: Iterator[dict], size: int = 2) -> Iterator[dict
     """Wrap a numpy-batch iterator; yields batches already on device."""
     q: queue.Queue = queue.Queue(maxsize=size)
     _SENTINEL = object()
+    _ERR = object()
 
     def producer():
         try:
@@ -31,8 +32,9 @@ def prefetch_to_device(iterator: Iterator[dict], size: int = 2) -> Iterator[dict
                 if "paths" in batch:
                     arrays["paths"] = batch["paths"]
                 q.put(arrays)
-        finally:
             q.put(_SENTINEL)
+        except BaseException as exc:  # propagate, never truncate silently
+            q.put((_ERR, exc))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -40,4 +42,6 @@ def prefetch_to_device(iterator: Iterator[dict], size: int = 2) -> Iterator[dict
         item = q.get()
         if item is _SENTINEL:
             return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            raise item[1]
         yield item

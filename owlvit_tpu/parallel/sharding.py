@@ -71,49 +71,59 @@ def shard_batch(batch, mesh: Mesh):
     )
 
 
+def _kp_keys(kp) -> tuple:
+    out = []
+    for k in kp:
+        name = getattr(k, "key", None)
+        if name is None:
+            name = getattr(k, "name", None)  # NamedTuple fields
+        if name is None:
+            name = getattr(k, "idx", None)
+        out.append(str(name if name is not None else k))
+    return tuple(out)
+
+
+def opt_state_specs(opt_state, params):
+    """PartitionSpec pytree for an optax state, derived STRUCTURALLY.
+
+    Optax states embed param-shaped pytrees (e.g. ScaleByAdamState.mu mirrors
+    the params), so a state leaf's keypath ends with the keypath of the param
+    it shadows. Any leaf whose keypath suffix + shape match a param gets that
+    param's spec; everything else (step counters, factored moments, schedule
+    state) is replicated. Works for any optax chain — no duck typing.
+    """
+    p_entries = []
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        keys = _kp_keys(kp)
+        p_entries.append((keys, _spec_for("/" + "/".join(keys)), leaf.shape))
+    # longest param path first, so the most specific suffix wins
+    p_entries.sort(key=lambda e: -len(e[0]))
+
+    def spec_for_leaf(kp, leaf):
+        keys = _kp_keys(kp)
+        shape = getattr(leaf, "shape", ())
+        for pkeys, spec, pshape in p_entries:
+            if (
+                len(keys) >= len(pkeys)
+                and keys[-len(pkeys) :] == pkeys
+                and shape == pshape
+            ):
+                return spec
+        return _REPL
+
+    return jax.tree_util.tree_map_with_path(spec_for_leaf, opt_state)
+
+
 def shard_state(state, mesh: Mesh):
-    """Shard a TrainState: params + matching opt_state, replicated step."""
+    """Shard a TrainState: params + structurally matched opt_state,
+    replicated step."""
     from owlvit_tpu.train.state import TrainState
 
-    trainable = shard_params(state.trainable, mesh)
-    frozen = shard_params(state.frozen, mesh)
-
-    t_specs = param_specs(state.trainable)
-
-    # Shard optimizer moments with the same specs as their params.
-    def shard_opt(opt_state):
-        def try_shard(node):
-            try:
-                return jax.tree.map(
-                    lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-                    node,
-                    t_specs,
-                )
-            except (ValueError, TypeError):
-                return jax.tree.map(
-                    lambda x: jax.device_put(x, NamedSharding(mesh, _REPL)), node
-                )
-
-        out = []
-        for part in opt_state:
-            if hasattr(part, "_replace"):  # NamedTuple (ScaleByAdamState etc.)
-                fields = {}
-                for name in part._fields:
-                    val = getattr(part, name)
-                    if isinstance(val, dict):
-                        fields[name] = try_shard(val)
-                    else:
-                        fields[name] = jax.device_put(
-                            val, NamedSharding(mesh, _REPL)
-                        )
-                out.append(part._replace(**fields))
-            else:
-                out.append(part)
-        return tuple(out)
-
+    o_specs = opt_state_specs(state.opt_state, state.trainable)
+    put = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))  # noqa: E731
     return TrainState(
-        trainable=trainable,
-        frozen=frozen,
-        opt_state=shard_opt(state.opt_state),
-        step=jax.device_put(state.step, NamedSharding(mesh, _REPL)),
+        trainable=shard_params(state.trainable, mesh),
+        frozen=shard_params(state.frozen, mesh),
+        opt_state=jax.tree.map(put, state.opt_state, o_specs),
+        step=put(state.step, _REPL),
     )

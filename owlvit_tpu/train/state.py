@@ -38,7 +38,15 @@ def partition_params(params: dict, trainable_last_k: int = 1) -> tuple[dict, dic
     """
     v = params["vision"]
     layers = v["layers"]
-    k = trainable_last_k
+    n_layers = jax.tree_util.tree_leaves(layers)[0].shape[0]
+    # None = full fine-tune: every encoder layer trainable (embeddings and
+    # pre_ln stay frozen — they are not in the reference's trainable set for
+    # any k). Mirrors vit.forward, where None disables the stop_gradient split.
+    k = n_layers if trainable_last_k is None else trainable_last_k
+    if not 0 <= k <= n_layers:
+        raise ValueError(
+            f"trainable_last_k={trainable_last_k} out of range [0, {n_layers}]"
+        )
     trainable = {
         "vision": {
             "layers_tail": jax.tree.map(lambda a: a[a.shape[0] - k :], layers),

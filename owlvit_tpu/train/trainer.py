@@ -50,6 +50,7 @@ class Trainer:
     def __init__(self, config: Config, workdir: str = "."):
         self.cfg = config
         self.workdir = workdir
+        os.makedirs(self.workdir, exist_ok=True)
         self.setup()
 
     # ------------------------------------------------------------------ setup
@@ -242,6 +243,12 @@ class Trainer:
                     jax.profiler.stop_trace()
                     profiling = None
                     print(f"profiler trace: {t.profile_dir}", flush=True)
+
+            if profiling:  # epoch shorter than profile_steps: don't leak the trace
+                jax.block_until_ready(self.state.step)
+                jax.profiler.stop_trace()
+                profiling = None
+                print(f"profiler trace (short epoch): {t.profile_dir}", flush=True)
 
             train_metrics = acc.means()
             val_metrics = self.evaluate(epoch=epoch)

@@ -170,3 +170,33 @@ def test_cache_resized_roundtrip(synth):
         _ = ds_cached[i]
     t_cached = time.time() - t0
     assert t_cached < t_plain
+
+
+def test_batch_iterator_tiny_dataset_wraps_padding(synth):
+    """ADVICE r1: dataset smaller than one batch must still emit full-size,
+    internally consistent batches (pad indices wrap)."""
+    ds = DetectionDataset(synth["test"], synth["images_dir"], image_size=64)
+    n = len(ds)
+    bs = n + 3
+    batches = list(batch_iterator(ds, bs, pad_final=True))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["image"].shape[0] == bs
+    assert b["image_valid"].shape[0] == bs
+    assert b["image_valid"].sum() == n
+    assert len(b["paths"]) == bs
+
+
+def test_prefetch_propagates_producer_errors():
+    """ADVICE r1: a decode/transfer error in the prefetch thread must raise
+    in the consumer, not silently truncate the epoch."""
+    from owlvit_tpu.data.loader import prefetch_to_device
+
+    def bad_iterator():
+        yield {"x": np.zeros((2, 2), np.float32)}
+        raise RuntimeError("decode exploded")
+
+    it = prefetch_to_device(bad_iterator())
+    next(it)
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        next(it)
