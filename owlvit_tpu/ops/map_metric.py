@@ -90,7 +90,10 @@ class MeanAveragePrecision:
         det_boxes, det_scores = det_boxes[order], det_scores[order]
 
         g_area = _box_area(gt)
-        g_ignore = (g_area < area_rng[0]) | (g_area >= area_rng[1])
+        # pycocotools bounds are inclusive on BOTH ends: ignore iff
+        # area < lo or area > hi (an exactly-32^2 box counts in small AND
+        # medium). Using >= hi here diverged at exact bucket boundaries.
+        g_ignore = (g_area < area_rng[0]) | (g_area > area_rng[1])
         # sort GT: valid first (pycocotools processes ignores last)
         g_order = np.argsort(g_ignore, kind="stable")
         gt, g_ignore = gt[g_order], g_ignore[g_order]
@@ -107,7 +110,7 @@ class MeanAveragePrecision:
             if nm is not None:
                 matched, ignored = nm
                 d_area = _box_area(det_boxes)
-                d_out = (d_area < area_rng[0]) | (d_area >= area_rng[1])
+                d_out = (d_area < area_rng[0]) | (d_area > area_rng[1])
                 ignored = ignored | (~matched & d_out[None, :])
                 return det_scores, matched, ignored, int((~g_ignore).sum())
 
@@ -135,7 +138,7 @@ class MeanAveragePrecision:
 
         # unmatched detections outside the area range are ignored
         d_area = _box_area(det_boxes)
-        d_out = (d_area < area_rng[0]) | (d_area >= area_rng[1])
+        d_out = (d_area < area_rng[0]) | (d_area > area_rng[1])
         ignored = ignored | (~matched & d_out[None, :])
 
         n_valid_gt = int((~g_ignore).sum())

