@@ -215,6 +215,12 @@ def encoder_block(
     return x + h
 
 
+def _fused_ln_enabled() -> bool:
+    import os
+
+    return os.environ.get("OWLVIT_FUSED_LN", "1") != "0"
+
+
 def encoder(
     stacked: dict,
     x: jnp.ndarray,
@@ -227,7 +233,31 @@ def encoder(
     remat: bool = False,
     valid_len: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Run the stacked encoder with lax.scan (one trace for all layers)."""
+    """Run the stacked encoder with lax.scan (one trace for all layers).
+
+    On the flash (TPU) path the residual adds and LayerNorms run through the
+    fused add_ln Pallas kernel (ops/fused_ln.py): the scan carries the
+    residual stream as a pending (res, branch) pair so every layer boundary
+    is one fused read instead of separate add/LN HBM passes. The XLA path
+    keeps plain ops (same numerics; what CPU parity tests pin).
+    """
+    if impl == "flash" and bias is None and not causal and _fused_ln_enabled():
+        from owlvit_tpu.ops.fused_ln import add_ln
+
+        def body(carry, layer_p):
+            res, br = carry
+            xi, y1 = add_ln(res, br, layer_p["ln1"], eps)
+            a = attention(
+                layer_p["attn"], y1, num_heads, impl=impl, valid_len=valid_len
+            )
+            x2, y2 = add_ln(xi, a, layer_p["ln2"], eps)
+            m = mlp(layer_p["mlp"], y2)
+            return (x2, m), None
+
+        if remat:
+            body = jax.checkpoint(body)
+        (res, br), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), stacked)
+        return res + br
 
     def body(h, layer_p):
         return (

@@ -355,12 +355,19 @@ def _pk_fwd(q2, k2, v2, scale, s_real, H, hd):
     )(q2, k2, v2)
 
 
-def _pk_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+def _pk_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, dq_ref,
                   *, scale, s_real, hg, hd):
+    """dQ by query block. lse and delta are RECOMPUTED inline from the score
+    row / (do, o) block — the round-1 version plumbed them in through
+    [.., BQ, hg] blocks whose 2-wide lane dimension was the prime suspect in
+    the on-device fault (NOTES_NEXT_ROUND r1); recomputing costs one row max
+    + sum on an s matrix the kernel computes anyway and removes the narrow
+    blocks entirely."""
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
+    o = o_ref[0]
     dqs = []
     for h in range(hg):
         sl = slice(h * hd, (h + 1) * hd)
@@ -368,13 +375,15 @@ def _pk_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         kh = k[:, sl].astype(jnp.float32)
         vh = v[:, sl].astype(jnp.float32)
         doh = do[:, sl].astype(jnp.float32)
-        lse = lse_ref[0, 0][:, h][:, None]
-        delta = delta_ref[0, 0][:, h][:, None]
+        oh = o[:, sl].astype(jnp.float32)
         s = jax.lax.dot_general(qh * scale, kh, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32)  # [BQ, S]
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < s_real, s, _NEG)
-        p = jnp.exp(s - lse)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # softmax == exp(s - lse)
+        delta = jnp.sum(doh * oh, axis=-1, keepdims=True)  # [BQ, 1]
         dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta) * scale
@@ -383,35 +392,43 @@ def _pk_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
 
 
-def _pk_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+def _pk_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
                    dk_ref, dv_ref, *, scale, s_real, hg, hd):
-    q = q_ref[0]       # [S_pad, lanes] (all queries, this group's lanes)
+    """dK/dV by key block, TRANSPOSED: scores are [BK keys, S queries], so
+    the per-query lse/delta broadcast as [1, S] ROWS (lane dim = S_pad,
+    128-aligned) instead of the round-1 [S, 1] columns fed through 2-lane
+    blocks. All matmuls contract cleanly on the MXU."""
     k = k_ref[0]       # [BK, lanes]
     v = v_ref[0]
+    q = q_ref[0]       # [S_pad, lanes] (all queries, this group's lanes)
     do = do_ref[0]     # [S_pad, lanes]
     dks, dvs = [], []
     for h in range(hg):
         sl = slice(h * hd, (h + 1) * hd)
-        qh = q[:, sl].astype(jnp.float32)
         kh = k[:, sl].astype(jnp.float32)
         vh = v[:, sl].astype(jnp.float32)
+        qh = q[:, sl].astype(jnp.float32)
         doh = do[:, sl].astype(jnp.float32)
-        lse = lse_ref[0, 0][:, h][:, None]   # [S_pad, 1]
-        delta = delta_ref[0, 0][:, h][:, None]
-        s = jax.lax.dot_general(qh * scale, kh, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [S_pad, BK]
-        kcol = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + (
+        lse = lse_ref[0, 0][h : h + 1, :]      # [1, S_pad]
+        delta = delta_ref[0, 0][h : h + 1, :]  # [1, S_pad]
+        st = jax.lax.dot_general(kh, qh * scale, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # [BK, S]
+        qcol = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
+        krow = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + (
             pl.program_id(2) * k.shape[0]
         )
-        s = jnp.where(kcol < s_real, s, _NEG)
-        qrow = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        p = jnp.where(qrow < s_real, jnp.exp(s - lse), 0.0)
-        dvs.append(jax.lax.dot_general(p, doh, (((0,), (0,)), ((), ())),
+        # Zero padded QUERY columns (garbage q rows/lse) AND padded KEY rows:
+        # the fwd masked padded keys to -inf, so their p is exactly 0 — and
+        # their dk/dv rows MUST be 0 because the pad happens once outside the
+        # layer scan, so pad-row cotangents flow into the shared projection
+        # weight grads (they are never sliced off inside a layer).
+        pt = jnp.where((qcol < s_real) & (krow < s_real), jnp.exp(st - lse), 0.0)
+        dvs.append(jax.lax.dot_general(pt, doh, (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32))
-        dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
-        dks.append(jax.lax.dot_general(ds, qh, (((0,), (0,)), ((), ())),
+        dpt = jax.lax.dot_general(vh, doh, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)  # [BK, S]
+        dst = pt * (dpt - delta) * scale
+        dks.append(jax.lax.dot_general(dst, qh, (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32))
     dk_ref[0] = jnp.concatenate(dks, axis=-1).astype(dk_ref.dtype)
     dv_ref[0] = jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
@@ -424,40 +441,39 @@ def _pk_bwd(scale, s_real, H, hd, res, g):
     G = H // hg
     lanes = hg * hd
     do2 = g
-    # per-(row, head) delta, shaped like lse: [B, G, S_pad, hg]
-    delta = jnp.sum(
+    # dkv wants per-query rows: lse/delta as [B, G, hg, S_pad] (S in lanes).
+    lse_t = lse.transpose(0, 1, 3, 2)  # [B, G, hg, S_pad], tiny XLA transpose
+    delta_t = jnp.sum(
         (do2.astype(jnp.float32) * o2.astype(jnp.float32)).reshape(
             B, S_pad, G, hg, hd
         ),
         axis=-1,
-    ).transpose(0, 2, 1, 3)  # [B, G, S_pad, hg]
+    ).transpose(0, 2, 3, 1)  # [B, G, hg, S_pad]
 
     qspec, kvspec = _pk_specs(S_pad, D, BLOCK_Q, lanes)
-    lse_qblock = pl.BlockSpec((1, 1, BLOCK_Q, hg), lambda b, g, i: (b, g, i, 0),
-                              memory_space=pltpu.VMEM)
-    lse_full = pl.BlockSpec((1, 1, S_pad, hg), lambda b, g, i: (b, g, 0, 0),
-                            memory_space=pltpu.VMEM)
+    rows_full = pl.BlockSpec((1, 1, hg, S_pad), lambda b, g, i: (b, g, 0, 0),
+                             memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
         functools.partial(_pk_dq_kernel, scale=scale, s_real=s_real, hg=hg, hd=hd),
         grid=(B, G, S_pad // BLOCK_Q),
-        in_specs=[qspec, kvspec, kvspec, qspec, lse_qblock, lse_qblock],
+        in_specs=[qspec, kvspec, kvspec, qspec, qspec],
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct((B, S_pad, D), q2.dtype),
         interpret=_interpret(),
-    )(q2, k2, v2, do2, lse, delta)
+    )(q2, k2, v2, do2, o2)
 
     dk, dv = pl.pallas_call(
         functools.partial(_pk_dkv_kernel, scale=scale, s_real=s_real, hg=hg, hd=hd),
         grid=(B, G, S_pad // BLOCK_Q),
-        in_specs=[kvspec, qspec, qspec, kvspec, lse_full, lse_full],
+        in_specs=[qspec, qspec, kvspec, kvspec, rows_full, rows_full],
         out_specs=[qspec, qspec],
         out_shape=[
             jax.ShapeDtypeStruct((B, S_pad, D), k2.dtype),
             jax.ShapeDtypeStruct((B, S_pad, D), v2.dtype),
         ],
         interpret=_interpret(),
-    )(q2, k2, v2, do2, lse, delta)
+    )(k2, v2, q2, do2, lse_t, delta_t)
     return dq, dk, dv
 
 

@@ -160,3 +160,42 @@ def test_hybrid_matches_reference_fwd_bwd(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5, err_msg=n
         )
+
+
+def test_model_grads_flash_packed_vs_xla(rng, monkeypatch):
+    """Model-LEVEL grad parity with the packed kernels + fused-LN scan.
+
+    Kernel-level differential tests slice off padded rows before comparing,
+    so they CANNOT see pad-row grad leakage into shared projection weights
+    (the pad happens once outside the layer scan — caught live in r2: the
+    transposed dkv kernel initially left padded key rows unmasked and
+    corrupted every weight grad)."""
+    monkeypatch.setenv("OWLVIT_PACKED_FLASH", "1")
+    import jax
+    import jax.numpy as jnp
+
+    from owlvit_tpu.models import get_config, owlvit
+
+    cfg_flash = get_config("tiny", attention_impl="flash")
+    cfg_xla = get_config("tiny", attention_impl="xla")
+    params = owlvit.init(jax.random.PRNGKey(0), cfg_flash, num_queries=6)
+    img = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 96, 96, 3)), jnp.float32
+    )
+
+    def loss(p, cfg):
+        b, s = owlvit.forward_train(p, cfg, img)
+        return jnp.sum(b * b) + jnp.sum(s * s)
+
+    gf = jax.grad(loss)(params, cfg_flash)
+    gx = jax.grad(loss)(params, cfg_xla)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(gf),
+        jax.tree_util.tree_leaves_with_path(gx),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=jax.tree_util.keystr(kp),
+        )
+    # k bias must cancel in softmax: its grad is exactly ~0
+    assert float(jnp.max(jnp.abs(gf["vision"]["layers"]["attn"]["k"]["bias"]))) < 1e-4
