@@ -35,15 +35,22 @@ class DetectionDataset:
         image_size: int = 768,
         max_gt: int = 64,
         cache_resized: bool = False,
+        native_decode: bool = True,
     ):
         """cache_resized: materialize decoded+resized uint8 images into an
         on-disk memmap once, then serve epochs at memcpy speed. The reference
         re-decodes and re-resizes every image every epoch (dataset.py:60-73);
         on few-core hosts that binds the whole train loop (~82 img/s on one
-        core vs ~97 img/s device throughput at B/16)."""
+        core vs ~97 img/s device throughput at B/16).
+
+        native_decode: decode+resize whole batches through the C++ thread
+        pool (native/image_pool.cpp, PIL-exact bicubic) — the equivalent of
+        the reference's num_workers=4 DataLoader. Falls back to PIL per
+        image when the native library is unavailable or a decode fails."""
         self.images_dir = images_dir
         self.image_size = image_size
         self.max_gt = max_gt
+        self.native_decode = native_decode
 
         with open(annotations_file) as f:
             data = json.load(f)
@@ -103,10 +110,12 @@ class DetectionDataset:
             arr_path, mode="w+", dtype=np.uint8, shape=(N, S, S, 3)
         )
         sizes = np.zeros((N, 2), np.int32)
-        for i, key in enumerate(keys):
-            img, w, h = self._decode_resize(key)
-            cache[i] = img
-            sizes[i] = (w, h)
+        chunk = 64  # bound native-batch memory during the build
+        for lo in range(0, N, chunk):
+            sub = keys[lo : lo + chunk]
+            imgs, whs = self._decode_resize_many(sub)
+            cache[lo : lo + len(sub)] = imgs
+            sizes[lo : lo + len(sub)] = whs
         cache.flush()
         with open(meta_path, "w") as f:
             json.dump({"keys": keys, "sizes": sizes.tolist()}, f)
@@ -120,6 +129,48 @@ class DetectionDataset:
         w, h = img.size
         img = img.resize((self.image_size, self.image_size), Image.BICUBIC)
         return np.asarray(img, np.uint8), w, h
+
+    def _decode_resize_many(
+        self, path_keys: list
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batch decode+resize: C++ thread pool when available, PIL fallback
+        per failed/unsupported image. -> (images [n,S,S,3], wh [n,2])."""
+        n, S = len(path_keys), self.image_size
+        paths = [
+            os.path.join(self.images_dir, os.path.basename(k))
+            for k in path_keys
+        ]
+        if self.native_decode:
+            from owlvit_tpu import native
+
+            res = native.decode_resize_batch(paths, S)
+            if res is not None:
+                imgs, wh, ok = res
+                for i in np.flatnonzero(~ok):
+                    img, w, h = self._decode_resize(path_keys[int(i)])
+                    imgs[i] = img
+                    wh[i] = (w, h)
+                return imgs, wh
+        imgs = np.empty((n, S, S, 3), np.uint8)
+        wh = np.zeros((n, 2), np.int32)
+        for i, key in enumerate(path_keys):
+            img, w, h = self._decode_resize(key)
+            imgs[i] = img
+            wh[i] = (w, h)
+        return imgs, wh
+
+    def load_batch(self, idxs) -> list:
+        """Assemble samples for a batch of indices, decoding images through
+        the native pool in one call when no memmap cache is active."""
+        idxs = [int(i) for i in idxs]
+        if self._cache is not None:
+            return [self[i] for i in idxs]
+        keys = [self.items[i][0] for i in idxs]
+        imgs, wh = self._decode_resize_many(keys)
+        return [
+            self._make_sample(i, imgs[j], int(wh[j, 0]), int(wh[j, 1]))
+            for j, i in enumerate(idxs)
+        ]
 
     def _load_image(self, path_key: str) -> tuple[np.ndarray, int, int]:
         if self._cache is not None:
@@ -138,7 +189,10 @@ class DetectionDataset:
     def __getitem__(self, idx: int) -> dict:
         key, anns = self.items[idx]
         image, w, h = self._load_image(key)
+        return self._make_sample(idx, image, w, h)
 
+    def _make_sample(self, idx: int, image: np.ndarray, w: int, h: int) -> dict:
+        key, anns = self.items[idx]
         G = self.max_gt
         boxes = np.zeros((G, 4), np.float32)
         labels = np.zeros((G,), np.int32)
@@ -187,7 +241,7 @@ def batch_iterator(
             # is smaller than one batch (order alone would be too short).
             pad = np.resize(order, batch_size - len(idxs))
             idxs = np.concatenate([idxs, pad])
-        samples = [dataset[int(i)] for i in idxs]
+        samples = dataset.load_batch(idxs)
         batch = {
             k: np.stack([s[k] for s in samples])
             for k in ("image", "boxes", "labels", "gt_mask", "width", "height")

@@ -99,6 +99,78 @@ def nms(boxes: np.ndarray, scores: np.ndarray, iou_thresh: float,
     return keep[:n]
 
 
+# ---------------------------------------------------------------- image pool
+
+_IMG_SRC = os.path.join(_DIR, "src", "image_pool.cpp")
+_IMG_SO = os.path.join(_DIR, "libowlvit_image.so")
+_img_lib = None
+_img_tried = False
+
+
+def build_image(force: bool = False) -> str | None:
+    if (
+        os.path.exists(_IMG_SO)
+        and not force
+        and os.path.getmtime(_IMG_SO) >= os.path.getmtime(_IMG_SRC)
+    ):
+        return _IMG_SO
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-o", _IMG_SO, _IMG_SRC,
+        "-ljpeg", "-lpng", "-lz", "-lpthread",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+        return _IMG_SO
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return None
+
+
+def image_lib():
+    global _img_lib, _img_tried
+    if _img_lib is not None or _img_tried:
+        return _img_lib
+    _img_tried = True
+    so = build_image()
+    if so is None:
+        return None
+    try:
+        L = ctypes.CDLL(so)
+    except OSError:
+        return None
+    L.owlvit_decode_resize_batch.restype = ctypes.c_int
+    L.owlvit_decode_resize_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
+    _img_lib = L
+    return _img_lib
+
+
+def decode_resize_batch(
+    paths: list, out_size: int, n_threads: int = 0
+) -> tuple | None:
+    """Threaded native decode (JPEG/PNG) + PIL-exact bicubic resize.
+
+    -> (images [n, S, S, 3] uint8, wh [n, 2] int32, ok [n] bool) or None if
+    the native library is unavailable. Failed slots have ok=False (caller
+    falls back to PIL for those).
+    """
+    L = image_lib()
+    if L is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, out_size, out_size, 3), np.uint8)
+    wh = np.zeros((n, 2), np.int32)
+    ok = np.zeros((n,), np.int32)
+    arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+    L.owlvit_decode_resize_batch(
+        arr, n, out_size, _ptr(out, ctypes.c_uint8), _ptr(wh, ctypes.c_int),
+        _ptr(ok, ctypes.c_int), n_threads,
+    )
+    return out, wh, ok.astype(bool)
+
+
 def coco_match(iou: np.ndarray, gt_ignore: np.ndarray,
                thrs: np.ndarray) -> tuple | None:
     L = lib()

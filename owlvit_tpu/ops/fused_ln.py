@@ -75,9 +75,13 @@ def _bwd_kernel(
 
     g = dr_ref[...].astype(jnp.float32) + dx_ln
     g_ref[...] = g.astype(g_ref.dtype)
-    # per-program partial reductions; summed over the grid axis outside
-    dscale_ref[...] = jnp.sum(dy * xhat, axis=0, keepdims=True)
-    dbias_ref[...] = jnp.sum(dy, axis=0, keepdims=True)
+    # Per-program partial reductions, summed over the grid axis outside.
+    # Mosaic requires >=8 sublanes per block, so each partial occupies an
+    # (8, D) block with the value in row 0 and zeros below — the outer
+    # sum-over-rows then yields the exact total.
+    pad = ((0, 7), (0, 0))
+    dscale_ref[...] = jnp.pad(jnp.sum(dy * xhat, axis=0, keepdims=True), pad)
+    dbias_ref[...] = jnp.pad(jnp.sum(dy, axis=0, keepdims=True), pad)
 
 
 # --------------------------------------------------------------------------
@@ -109,7 +113,7 @@ def _bwd2(r2, dy2, dr2, scale, eps):
     grid = (G,)
     row = pl.BlockSpec((BLOCK_ROWS, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    part = pl.BlockSpec((1, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    part = pl.BlockSpec((8, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
     g, dscale_p, dbias_p = pl.pallas_call(
         functools.partial(_bwd_kernel, eps=eps),
         grid=grid,
@@ -117,8 +121,8 @@ def _bwd2(r2, dy2, dr2, scale, eps):
         out_specs=[row, part, part],
         out_shape=[
             jax.ShapeDtypeStruct((N, D), r2.dtype),
-            jax.ShapeDtypeStruct((G, D), jnp.float32),
-            jax.ShapeDtypeStruct((G, D), jnp.float32),
+            jax.ShapeDtypeStruct((G * 8, D), jnp.float32),
+            jax.ShapeDtypeStruct((G * 8, D), jnp.float32),
         ],
         interpret=_interpret(),
     )(r2, dy2, dr2, scale.reshape(1, D))

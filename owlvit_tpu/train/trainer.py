@@ -87,10 +87,12 @@ class Trainer:
         self.train_ds = DetectionDataset(
             d.train_annotations, d.images_path, image_size=size,
             max_gt=d.max_gt, cache_resized=d.cache_resized,
+            native_decode=d.native_decode,
         )
         self.test_ds = DetectionDataset(
             d.test_annotations, d.images_path, image_size=size,
             max_gt=d.max_gt, cache_resized=d.cache_resized,
+            native_decode=d.native_decode,
         )
 
         # --- params ---------------------------------------------------------

@@ -25,6 +25,7 @@ class DataConfig:
     num_test_images: int = 100
     max_gt: int = 64
     cache_resized: bool = False  # memmap cache of decoded+resized images
+    native_decode: bool = True  # C++ threaded decode+resize (PIL fallback)
     synthetic_root: Optional[str] = None  # if set, generate+use synthetic data
     synthetic_classes: int = 4
 

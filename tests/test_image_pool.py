@@ -1,0 +1,109 @@
+"""Native C++ decode+resize pool vs the PIL path (data pipeline parity)."""
+
+import numpy as np
+import pytest
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+from owlvit_tpu import native  # noqa: E402
+from owlvit_tpu.data import DetectionDataset, synthetic  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def images(tmp_path_factory):
+    """A spread of sizes/formats: PNG (synthetic-style), JPEG, grayscale
+    PNG, RGBA PNG, up- and down-scaling."""
+    root = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i, (w, h) in enumerate([(640, 480), (100, 80), (333, 517), (64, 64)]):
+        arr = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        p = str(root / f"rgb{i}.png")
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+    arr = rng.integers(0, 255, size=(240, 320, 3), dtype=np.uint8)
+    pj = str(root / "photo.jpg")
+    Image.fromarray(arr).save(pj, quality=90)
+    paths.append(pj)
+    g = rng.integers(0, 255, size=(120, 150), dtype=np.uint8)
+    pg = str(root / "gray.png")
+    Image.fromarray(g, mode="L").save(pg)
+    paths.append(pg)
+    a = rng.integers(0, 255, size=(90, 110, 4), dtype=np.uint8)
+    pa = str(root / "rgba.png")
+    Image.fromarray(a, mode="RGBA").save(pa)
+    paths.append(pa)
+    return paths
+
+
+def _pil_reference(path, size):
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    return np.asarray(img.resize((size, size), Image.BICUBIC), np.uint8), w, h
+
+
+@pytest.mark.parametrize("size", [96, 256])
+def test_native_matches_pil(images, size):
+    if native.image_lib() is None:
+        pytest.skip("native image library unavailable")
+    out, wh, ok = native.decode_resize_batch(images, size, n_threads=2)
+    assert ok.all(), ok
+    for i, p in enumerate(images):
+        ref, w, h = _pil_reference(p, size)
+        assert (int(wh[i, 0]), int(wh[i, 1])) == (w, h)
+        diff = np.abs(out[i].astype(np.int32) - ref.astype(np.int32))
+        # PIL-exact resampling; decode itself may differ by 1 LSB between
+        # libjpeg builds. Require exactness for PNG, <=1 LSB for JPEG.
+        if p.endswith(".png"):
+            np.testing.assert_array_equal(out[i], ref, err_msg=p)
+        else:
+            assert diff.max() <= 1, (p, diff.max())
+
+
+def test_unreadable_file_flagged(tmp_path, images):
+    if native.image_lib() is None:
+        pytest.skip("native image library unavailable")
+    bad = str(tmp_path / "corrupt.png")
+    with open(bad, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\nnot really a png")
+    out, wh, ok = native.decode_resize_batch([images[0], bad], 64)
+    assert ok[0] and not ok[1]
+
+
+def test_dataset_load_batch_matches_getitem(tmp_path):
+    files = synthetic.generate(
+        str(tmp_path / "synth"), n_train=6, n_test=2, n_classes=2, seed=0
+    )
+    ds_native = DetectionDataset(
+        files["train"], files["images_dir"], image_size=96, max_gt=8,
+        native_decode=True,
+    )
+    ds_pil = DetectionDataset(
+        files["train"], files["images_dir"], image_size=96, max_gt=8,
+        native_decode=False,
+    )
+    batch_n = ds_native.load_batch([0, 3, 5])
+    batch_p = ds_pil.load_batch([0, 3, 5])
+    for a, b in zip(batch_n, batch_p):
+        for k in ("image", "boxes", "labels", "gt_mask"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+        assert a["path"] == b["path"]
+
+
+def test_cache_build_uses_batch_decode(tmp_path):
+    files = synthetic.generate(
+        str(tmp_path / "synth"), n_train=5, n_test=2, n_classes=2, seed=1
+    )
+    ds_cached = DetectionDataset(
+        files["train"], files["images_dir"], image_size=64, max_gt=8,
+        cache_resized=True,
+    )
+    ds_plain = DetectionDataset(
+        files["train"], files["images_dir"], image_size=64, max_gt=8,
+        native_decode=False,
+    )
+    for i in range(len(ds_cached)):
+        np.testing.assert_array_equal(
+            ds_cached[i]["image"], ds_plain[i]["image"]
+        )

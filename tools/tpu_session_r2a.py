@@ -16,7 +16,10 @@ Writes incremental JSON lines to /tmp/tpu_r2a_results.jsonl.
 
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RESULTS = "/tmp/tpu_r2a_results.jsonl"
 
