@@ -60,14 +60,19 @@ def _pad_to(x, size, axis):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, s_real):
-    q = q_ref[0].astype(jnp.float32)  # [BQ, hd]
-    k = k_ref[0].astype(jnp.float32)  # [S_pad, hd]
-    v = v_ref[0].astype(jnp.float32)
+    # Matmul operands stay in the input dtype (bf16 on the train path) with
+    # fp32 MXU accumulation — an fp32 multiply pass runs at ~1/8 the bf16
+    # rate on v5e and was the round-1 "MXU ~12%" smoking gun. For bf16
+    # inputs the products are identical; only softmax weights are rounded
+    # to bf16 before the p@v matmul (standard flash practice).
+    q = q_ref[0]  # [BQ, hd]
+    k = k_ref[0]  # [S_pad, hd]
+    v = v_ref[0]
 
     s = jax.lax.dot_general(
-        q * scale, k, (((1,), (1,)), ((), ())),
+        q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [BQ, S_pad]
+    ) * scale  # [BQ, S_pad] fp32
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < s_real, s, _NEG)
 
@@ -75,7 +80,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, s_real):
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     o_ref[0] = (o / l).astype(o_ref.dtype)
     lse_ref[0] = m + jnp.log(l)  # [BQ, 1]
@@ -118,22 +124,22 @@ def _fwd(q3, k3, v3, scale, s_real):
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                *, scale, s_real):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0]  # [BQ, 1]
     delta = delta_ref[0]
 
-    s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < s_real, s, _NEG)
-    p = jnp.exp(s - lse)  # [BQ, S_pad]
+    p = jnp.exp(s - lse)  # [BQ, S_pad] fp32
 
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta) * scale
+    ds = (p * (dp - delta) * scale).astype(k.dtype)
     dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dq_ref[0] = dq.astype(dq_ref.dtype)
@@ -142,15 +148,15 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, *, scale, s_real):
     # one (batch*head, key-block) program; K block vs ALL queries
-    q = q_ref[0].astype(jnp.float32)  # [S_pad, hd] (all queries)
-    k = k_ref[0].astype(jnp.float32)  # [BK, hd]
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)  # [S_pad, hd]
+    q = q_ref[0]  # [S_pad, hd] (all queries)
+    k = k_ref[0]  # [BK, hd]
+    v = v_ref[0]
+    do = do_ref[0]  # [S_pad, hd]
     lse = lse_ref[0]  # [S_pad, 1]
     delta = delta_ref[0]
 
-    s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # [S_pad, BK]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
     kcol = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + (
         pl.program_id(1) * k.shape[0]
     )
@@ -158,13 +164,14 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     # padded query rows have lse=0 from masked fwd? they were computed on
     # garbage; kill their contribution explicitly:
     qrow = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    p = jnp.where(qrow < s_real, jnp.exp(s - lse), 0.0)  # [S_pad, BK]
+    p = jnp.where(qrow < s_real, jnp.exp(s - lse), 0.0)  # [S_pad, BK] fp32
+    pc = p.astype(do.dtype)
 
-    dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+    dv = jax.lax.dot_general(pc, do, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)  # [BK, hd]
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)  # [S_pad, BK]
-    ds = p * (dp - delta) * scale
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
     dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)  # [BK, hd]
     dk_ref[0] = dk.astype(dk_ref.dtype)
@@ -298,20 +305,21 @@ def _pk_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, s_real, hg, hd
     outs, lses = [], []
     for h in range(hg):
         sl = slice(h * hd, (h + 1) * hd)
-        qh = q[:, sl].astype(jnp.float32)
-        kh = k[:, sl].astype(jnp.float32)
-        vh = v[:, sl].astype(jnp.float32)
+        qh = q[:, sl]
+        kh = k[:, sl]
+        vh = v[:, sl]
         s = jax.lax.dot_general(
-            qh * scale, kh, (((1,), (1,)), ((), ())),
+            qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ) * scale
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < s_real, s, _NEG)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         oh = jax.lax.dot_general(
-            p, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         ) / l
         outs.append(oh)
         lses.append(m + jnp.log(l))
@@ -371,22 +379,25 @@ def _pk_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, dq_ref,
     dqs = []
     for h in range(hg):
         sl = slice(h * hd, (h + 1) * hd)
-        qh = q[:, sl].astype(jnp.float32)
-        kh = k[:, sl].astype(jnp.float32)
-        vh = v[:, sl].astype(jnp.float32)
-        doh = do[:, sl].astype(jnp.float32)
-        oh = o[:, sl].astype(jnp.float32)
-        s = jax.lax.dot_general(qh * scale, kh, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [BQ, S]
+        qh = q[:, sl]
+        kh = k[:, sl]
+        vh = v[:, sl]
+        doh = do[:, sl]
+        oh = o[:, sl]
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < s_real, s, _NEG)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)  # softmax == exp(s - lse)
-        delta = jnp.sum(doh * oh, axis=-1, keepdims=True)  # [BQ, 1]
+        delta = jnp.sum(
+            doh.astype(jnp.float32) * oh.astype(jnp.float32),
+            axis=-1, keepdims=True,
+        )  # [BQ, 1]
         dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
+        ds = (p * (dp - delta) * scale).astype(kh.dtype)
         dqs.append(jax.lax.dot_general(ds, kh, (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32))
     dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
@@ -405,14 +416,14 @@ def _pk_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
     dks, dvs = [], []
     for h in range(hg):
         sl = slice(h * hd, (h + 1) * hd)
-        kh = k[:, sl].astype(jnp.float32)
-        vh = v[:, sl].astype(jnp.float32)
-        qh = q[:, sl].astype(jnp.float32)
-        doh = do[:, sl].astype(jnp.float32)
+        kh = k[:, sl]
+        vh = v[:, sl]
+        qh = q[:, sl]
+        doh = do[:, sl]
         lse = lse_ref[0, 0][h : h + 1, :]      # [1, S_pad]
         delta = delta_ref[0, 0][h : h + 1, :]  # [1, S_pad]
-        st = jax.lax.dot_general(kh, qh * scale, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # [BK, S]
+        st = jax.lax.dot_general(kh, qh, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
         qcol = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
         krow = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + (
             pl.program_id(2) * k.shape[0]
@@ -423,18 +434,55 @@ def _pk_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
         # layer scan, so pad-row cotangents flow into the shared projection
         # weight grads (they are never sliced off inside a layer).
         pt = jnp.where((qcol < s_real) & (krow < s_real), jnp.exp(st - lse), 0.0)
-        dvs.append(jax.lax.dot_general(pt, doh, (((1,), (0,)), ((), ())),
+        dvs.append(jax.lax.dot_general(pt.astype(doh.dtype), doh,
+                                       (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32))
         dpt = jax.lax.dot_general(vh, doh, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)  # [BK, S]
-        dst = pt * (dpt - delta) * scale
+        dst = (pt * (dpt - delta) * scale).astype(qh.dtype)
         dks.append(jax.lax.dot_general(dst, qh, (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32))
     dk_ref[0] = jnp.concatenate(dks, axis=-1).astype(dk_ref.dtype)
     dv_ref[0] = jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
 
 
+def _transposed_bwd_from_packed(scale, s_real, H, hd, res, g):
+    """Compute (dq, dk, dv) for packed [B, S, D] tensors via the transposed
+    [B*H, S, hd] kernels (layout copies included) — the hybrid fallback."""
+    q2, k2, v2, o2, lse_pk = res
+    B, S_pad, D = q2.shape
+    hg = _group_heads(H, hd)
+
+    def to3(x):
+        return (
+            x.reshape(B, S_pad, H, hd).transpose(0, 2, 1, 3).reshape(B * H, S_pad, hd)
+        )
+
+    def from3(x):
+        return (
+            x.reshape(B, H, S_pad, hd).transpose(0, 2, 1, 3).reshape(B, S_pad, D)
+        )
+
+    lse3 = lse_pk.transpose(0, 1, 3, 2).reshape(B * H, S_pad)[..., None]
+    dq3, dk3, dv3 = _bwd(
+        scale, s_real, (to3(q2), to3(k2), to3(v2), to3(o2), lse3), to3(g)
+    )
+    return from3(dq3), from3(dk3), from3(dv3)
+
+
+def _pk_bwd_mode() -> str:
+    """Which halves of the packed backward use the packed kernels:
+    'both' (default), 'dq', 'dkv' — diagnostic knob for isolating the
+    device fault seen under the full-model grad (r1 + r2a2)."""
+    import os
+
+    return os.environ.get("OWLVIT_PACKED_BWD", "both")
+
+
 def _pk_bwd(scale, s_real, H, hd, res, g):
+    mode = _pk_bwd_mode()
+    if mode != "both":
+        dq_t, dk_t, dv_t = _transposed_bwd_from_packed(scale, s_real, H, hd, res, g)
     q2, k2, v2, o2, lse = res
     B, S_pad, D = q2.shape
     hg = _group_heads(H, hd)
@@ -454,26 +502,36 @@ def _pk_bwd(scale, s_real, H, hd, res, g):
     rows_full = pl.BlockSpec((1, 1, hg, S_pad), lambda b, g, i: (b, g, 0, 0),
                              memory_space=pltpu.VMEM)
 
-    dq = pl.pallas_call(
-        functools.partial(_pk_dq_kernel, scale=scale, s_real=s_real, hg=hg, hd=hd),
-        grid=(B, G, S_pad // BLOCK_Q),
-        in_specs=[qspec, kvspec, kvspec, qspec, qspec],
-        out_specs=qspec,
-        out_shape=jax.ShapeDtypeStruct((B, S_pad, D), q2.dtype),
-        interpret=_interpret(),
-    )(q2, k2, v2, do2, o2)
+    if mode in ("both", "dq"):
+        dq = pl.pallas_call(
+            functools.partial(
+                _pk_dq_kernel, scale=scale, s_real=s_real, hg=hg, hd=hd
+            ),
+            grid=(B, G, S_pad // BLOCK_Q),
+            in_specs=[qspec, kvspec, kvspec, qspec, qspec],
+            out_specs=qspec,
+            out_shape=jax.ShapeDtypeStruct((B, S_pad, D), q2.dtype),
+            interpret=_interpret(),
+        )(q2, k2, v2, do2, o2)
+    else:
+        dq = dq_t
 
-    dk, dv = pl.pallas_call(
-        functools.partial(_pk_dkv_kernel, scale=scale, s_real=s_real, hg=hg, hd=hd),
-        grid=(B, G, S_pad // BLOCK_Q),
-        in_specs=[qspec, qspec, kvspec, kvspec, rows_full, rows_full],
-        out_specs=[qspec, qspec],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, S_pad, D), k2.dtype),
-            jax.ShapeDtypeStruct((B, S_pad, D), v2.dtype),
-        ],
-        interpret=_interpret(),
-    )(k2, v2, q2, do2, lse_t, delta_t)
+    if mode in ("both", "dkv"):
+        dk, dv = pl.pallas_call(
+            functools.partial(
+                _pk_dkv_kernel, scale=scale, s_real=s_real, hg=hg, hd=hd
+            ),
+            grid=(B, G, S_pad // BLOCK_Q),
+            in_specs=[qspec, qspec, kvspec, kvspec, rows_full, rows_full],
+            out_specs=[qspec, qspec],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, S_pad, D), k2.dtype),
+                jax.ShapeDtypeStruct((B, S_pad, D), v2.dtype),
+            ],
+            interpret=_interpret(),
+        )(k2, v2, q2, do2, lse_t, delta_t)
+    else:
+        dk, dv = dk_t, dv_t
     return dq, dk, dv
 
 
