@@ -216,9 +216,13 @@ def encoder_block(
 
 
 def _fused_ln_enabled() -> bool:
+    """Default OFF: measured on-chip (r2 session A2/A3) the fused add+LN
+    kernel is perf-neutral vs XLA's own fusions at B/16 b32 (109.3 vs
+    109.8 img/s) — XLA already keeps the chain fused. Kept as opt-in
+    infrastructure (OWLVIT_FUSED_LN=1); numerics are identical."""
     import os
 
-    return os.environ.get("OWLVIT_FUSED_LN", "1") != "0"
+    return os.environ.get("OWLVIT_FUSED_LN", "0") == "1"
 
 
 def encoder(

@@ -298,22 +298,26 @@ def _group_heads(num_heads: int, head_dim: int) -> int:
     return max(1, min(num_heads, GROUP_LANES // head_dim))
 
 
-def _pk_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, s_real, hg, hd):
+def _pk_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+                   *, scale, hg, hd):
     q = q_ref[0]  # [BQ, hg*hd]
     k = k_ref[0]  # [S_pad, hg*hd]
     v = v_ref[0]
     outs, lses = [], []
     for h in range(hg):
         sl = slice(h * hd, (h + 1) * hd)
-        qh = q[:, sl]
+        # scale on the small [BQ, hd] q tile (exact: hd=64 -> scale=2^-3),
+        # NOT on the [BQ, S] scores — that would be a full extra VPU pass.
+        qh = (q[:, sl] * jnp.asarray(scale, q.dtype)).astype(q.dtype)
         kh = k[:, sl]
         vh = v[:, sl]
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < s_real, s, _NEG)
+        )
+        # key-pad masking as ONE broadcast add of a precomputed [1, S] bias
+        # row (0 real / -1e30 pad) instead of iota+compare+select passes
+        s = s + bias_ref[0]
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
@@ -325,6 +329,14 @@ def _pk_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, s_real, hg, hd
         lses.append(m + jnp.log(l))
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
     lse_ref[0, 0] = jnp.concatenate(lses, axis=-1)  # [BQ, hg]
+
+
+def _key_bias_row(S_pad: int, s_real: int):
+    """[1, S_pad] fp32 additive mask row: 0 for real keys, -1e30 for pad.
+    One broadcast ADD inside the kernels replaces iota+compare+select."""
+    return jnp.where(
+        jnp.arange(S_pad)[None, :] < s_real, jnp.float32(0), jnp.float32(_NEG)
+    )
 
 
 def _pk_specs(S_pad, D, BQ, lanes):
@@ -343,13 +355,14 @@ def _pk_fwd(q2, k2, v2, scale, s_real, H, hd):
     G = H // hg
     lanes = hg * hd
     qspec, kvspec = _pk_specs(S_pad, D, BLOCK_Q, lanes)
-    kern = functools.partial(
-        _pk_fwd_kernel, scale=scale, s_real=s_real, hg=hg, hd=hd
-    )
+    bias = _key_bias_row(S_pad, s_real)
+    bspec = pl.BlockSpec((1, S_pad), lambda b, g, i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    kern = functools.partial(_pk_fwd_kernel, scale=scale, hg=hg, hd=hd)
     return pl.pallas_call(
         kern,
         grid=(B, G, S_pad // BLOCK_Q),
-        in_specs=[qspec, kvspec, kvspec],
+        in_specs=[qspec, kvspec, kvspec, bspec],
         out_specs=[
             qspec,
             pl.BlockSpec((1, 1, BLOCK_Q, hg), lambda b, g, i: (b, g, i, 0),
@@ -360,11 +373,11 @@ def _pk_fwd(q2, k2, v2, scale, s_real, H, hd):
             jax.ShapeDtypeStruct((B, G, S_pad, hg), jnp.float32),
         ],
         interpret=_interpret(),
-    )(q2, k2, v2)
+    )(q2, k2, v2, bias)
 
 
-def _pk_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, dq_ref,
-                  *, scale, s_real, hg, hd):
+def _pk_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, bias_ref, dq_ref,
+                  *, scale, hg, hd):
     """dQ by query block. lse and delta are RECOMPUTED inline from the score
     row / (do, o) block — the round-1 version plumbed them in through
     [.., BQ, hg] blocks whose 2-wide lane dimension was the prime suspect in
@@ -380,14 +393,15 @@ def _pk_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, dq_ref,
     for h in range(hg):
         sl = slice(h * hd, (h + 1) * hd)
         qh = q[:, sl]
-        kh = k[:, sl]
+        # ONE scale application on the small [S, hd] k tile covers both the
+        # score product and the chain-rule factor (dq = scale * ds' @ k).
+        kh = (k[:, sl] * jnp.asarray(scale, k.dtype)).astype(k.dtype)
         vh = v[:, sl]
         doh = do[:, sl]
         oh = o[:, sl]
         s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < s_real, s, _NEG)
+                                preferred_element_type=jnp.float32)
+        s = s + bias_ref[0]  # pad keys -> -1e30
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)  # softmax == exp(s - lse)
@@ -397,13 +411,13 @@ def _pk_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, dq_ref,
         )  # [BQ, 1]
         dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = (p * (dp - delta) * scale).astype(kh.dtype)
+        ds = (p * (dp - delta)).astype(kh.dtype)
         dqs.append(jax.lax.dot_general(ds, kh, (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32))
     dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
 
 
-def _pk_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
+def _pk_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref, bias_ref,
                    dk_ref, dv_ref, *, scale, s_real, hg, hd):
     """dK/dV by key block, TRANSPOSED: scores are [BK keys, S queries], so
     the per-query lse/delta broadcast as [1, S] ROWS (lane dim = S_pad,
@@ -418,28 +432,31 @@ def _pk_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
         sl = slice(h * hd, (h + 1) * hd)
         kh = k[:, sl]
         vh = v[:, sl]
-        qh = q[:, sl]
+        # scaled q tile serves the score product AND the chain-rule factor
+        # in dk = scale * ds' @ q.
+        qh = (q[:, sl] * jnp.asarray(scale, q.dtype)).astype(q.dtype)
         doh = do[:, sl]
         lse = lse_ref[0, 0][h : h + 1, :]      # [1, S_pad]
         delta = delta_ref[0, 0][h : h + 1, :]  # [1, S_pad]
         st = jax.lax.dot_general(kh, qh, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
-        qcol = jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
-        krow = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0) + (
-            pl.program_id(2) * k.shape[0]
-        )
-        # Zero padded QUERY columns (garbage q rows/lse) AND padded KEY rows:
-        # the fwd masked padded keys to -inf, so their p is exactly 0 — and
-        # their dk/dv rows MUST be 0 because the pad happens once outside the
-        # layer scan, so pad-row cotangents flow into the shared projection
-        # weight grads (they are never sliced off inside a layer).
-        pt = jnp.where((qcol < s_real) & (krow < s_real), jnp.exp(st - lse), 0.0)
+                                 preferred_element_type=jnp.float32)
+        # Padded QUERY columns: the -1e30 bias row drives exp(st - lse) to
+        # exactly 0 (their lse is finite garbage). Padded KEY rows must also
+        # be zeroed: their dk/dv would otherwise leak into shared projection
+        # weight grads (the pad lives outside the layer scan, so pad-row
+        # cotangents are never sliced off inside a layer) — one multiply by
+        # a 0/1 column.
+        pt = jnp.exp(st + bias_ref[0] - lse)
+        krow = jax.lax.broadcasted_iota(
+            jnp.int32, (st.shape[0], 1), 0
+        ) + pl.program_id(2) * k.shape[0]
+        pt = pt * (krow < s_real).astype(jnp.float32)
         dvs.append(jax.lax.dot_general(pt.astype(doh.dtype), doh,
                                        (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32))
         dpt = jax.lax.dot_general(vh, doh, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)  # [BK, S]
-        dst = (pt * (dpt - delta) * scale).astype(qh.dtype)
+        dst = (pt * (dpt - delta)).astype(qh.dtype)
         dks.append(jax.lax.dot_general(dst, qh, (((1,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32))
     dk_ref[0] = jnp.concatenate(dks, axis=-1).astype(dk_ref.dtype)
@@ -502,17 +519,18 @@ def _pk_bwd(scale, s_real, H, hd, res, g):
     rows_full = pl.BlockSpec((1, 1, hg, S_pad), lambda b, g, i: (b, g, 0, 0),
                              memory_space=pltpu.VMEM)
 
+    bias = _key_bias_row(S_pad, s_real)
+    bspec2 = pl.BlockSpec((1, S_pad), lambda b, g, i: (0, 0),
+                          memory_space=pltpu.VMEM)
     if mode in ("both", "dq"):
         dq = pl.pallas_call(
-            functools.partial(
-                _pk_dq_kernel, scale=scale, s_real=s_real, hg=hg, hd=hd
-            ),
+            functools.partial(_pk_dq_kernel, scale=scale, hg=hg, hd=hd),
             grid=(B, G, S_pad // BLOCK_Q),
-            in_specs=[qspec, kvspec, kvspec, qspec, qspec],
+            in_specs=[qspec, kvspec, kvspec, qspec, qspec, bspec2],
             out_specs=qspec,
             out_shape=jax.ShapeDtypeStruct((B, S_pad, D), q2.dtype),
             interpret=_interpret(),
-        )(q2, k2, v2, do2, o2)
+        )(q2, k2, v2, do2, o2, bias)
     else:
         dq = dq_t
 
@@ -522,14 +540,15 @@ def _pk_bwd(scale, s_real, H, hd, res, g):
                 _pk_dkv_kernel, scale=scale, s_real=s_real, hg=hg, hd=hd
             ),
             grid=(B, G, S_pad // BLOCK_Q),
-            in_specs=[qspec, qspec, kvspec, kvspec, rows_full, rows_full],
+            in_specs=[qspec, qspec, kvspec, kvspec, rows_full, rows_full,
+                      bspec2],
             out_specs=[qspec, qspec],
             out_shape=[
                 jax.ShapeDtypeStruct((B, S_pad, D), k2.dtype),
                 jax.ShapeDtypeStruct((B, S_pad, D), v2.dtype),
             ],
             interpret=_interpret(),
-        )(k2, v2, q2, do2, lse_t, delta_t)
+        )(k2, v2, q2, do2, lse_t, delta_t, bias)
     else:
         dk, dv = dk_t, dv_t
     return dq, dk, dv

@@ -31,7 +31,7 @@ from owlvit_tpu.data import DetectionDataset, synthetic  # noqa: E402
 
 root = "/tmp/loader_bench_synth"
 files = synthetic.generate(root, n_train=64, n_test=4, n_classes=4, seed=0,
-                           image_size=768)
+                           image_size=(768, 768))
 for native_decode in (False, True):
     ds = DetectionDataset(
         files["train"], files["images_dir"], image_size=768, max_gt=16,
@@ -102,15 +102,15 @@ steps = [
     ("cli_eval", ["eval", "--config", cfg_path, "--workdir", wd]),
     ("cli_infer_bank",
      ["infer", "--config", cfg_path, "--workdir", wd,
-      "--image", f"{wd}/synth/images/train_0000.png"]),
+      "--image", f"{wd}/synth/images/train_00000.png"]),
     ("cli_infer_zeroshot",
      ["infer", "--config", cfg_path, "--workdir", wd,
-      "--image", f"{wd}/synth/images/train_0000.png",
+      "--image", f"{wd}/synth/images/train_00000.png",
       "--queries", "a photo of a red square"]),
     ("cli_infer_oneshot",
      ["infer", "--config", cfg_path, "--workdir", wd,
-      "--image", f"{wd}/synth/images/train_0000.png",
-      "--query-image", f"{wd}/synth/images/train_0001.png"]),
+      "--image", f"{wd}/synth/images/train_00000.png",
+      "--query-image", f"{wd}/synth/images/train_00001.png"]),
     ("cli_export",
      ["export", "--config", cfg_path, "--workdir", wd,
       "--out", f"{wd}/det.stablehlo", "--batch-size", "1"]),
