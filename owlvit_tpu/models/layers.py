@@ -94,6 +94,7 @@ def attention(
     causal: bool = False,
     impl: str = "xla",
     valid_len: Optional[int] = None,
+    fast_softmax: bool = False,
 ) -> jnp.ndarray:
     """Multi-head self-attention. x: [B, S, D]; bias: additive [B, 1|H, S, S].
 
@@ -124,14 +125,14 @@ def attention(
             # fully transpose-free (experimental, see packed_supported)
             o2 = flash_attention_packed(
                 q2, k2, v2, scale=scale, num_heads=num_heads,
-                valid_len=valid_len,
+                valid_len=valid_len, fast_softmax=fast_softmax,
             )
             return linear(p["out"], o2)
         if hybrid_supported(num_heads, head_dim, D):
             # packed forward (no layout copies), transposed backward
             o2 = flash_attention_hybrid(
                 q2, k2, v2, scale=scale, num_heads=num_heads,
-                valid_len=valid_len,
+                valid_len=valid_len, fast_softmax=fast_softmax,
             )
             return linear(p["out"], o2)
         o = flash_attention(
@@ -203,11 +204,12 @@ def encoder_block(
     causal: bool = False,
     impl: str = "xla",
     valid_len: Optional[int] = None,
+    fast_softmax: bool = False,
 ) -> jnp.ndarray:
     h = layer_norm(p["ln1"], x, eps)
     h = attention(
         p["attn"], h, num_heads, bias=bias, causal=causal, impl=impl,
-        valid_len=valid_len,
+        valid_len=valid_len, fast_softmax=fast_softmax,
     )
     x = x + h
     h = layer_norm(p["ln2"], x, eps)
@@ -236,6 +238,7 @@ def encoder(
     impl: str = "xla",
     remat: bool = False,
     valid_len: Optional[int] = None,
+    fast_softmax: bool = False,
 ) -> jnp.ndarray:
     """Run the stacked encoder with lax.scan (one trace for all layers).
 
@@ -252,7 +255,8 @@ def encoder(
             res, br = carry
             xi, y1 = add_ln(res, br, layer_p["ln1"], eps)
             a = attention(
-                layer_p["attn"], y1, num_heads, impl=impl, valid_len=valid_len
+                layer_p["attn"], y1, num_heads, impl=impl, valid_len=valid_len,
+                fast_softmax=fast_softmax,
             )
             x2, y2 = add_ln(xi, a, layer_p["ln2"], eps)
             m = mlp(layer_p["mlp"], y2)
@@ -267,7 +271,7 @@ def encoder(
         return (
             encoder_block(
                 layer_p, h, num_heads, eps, bias=bias, causal=causal, impl=impl,
-                valid_len=valid_len,
+                valid_len=valid_len, fast_softmax=fast_softmax,
             ),
             None,
         )

@@ -98,6 +98,9 @@ def forward(
         eps=cfg.layer_norm_eps, impl=attention_impl, remat=remat,
         valid_len=valid_len,
     )
+    import os
+
+    fast = os.environ.get("OWLVIT_FAST_SOFTMAX", "1") != "0"
     k = trainable_last_k
     if k is None or k >= cfg.num_layers:
         x = encoder(params["layers"], x, cfg.num_heads, **kwargs)
@@ -105,7 +108,12 @@ def forward(
 
     split = cfg.num_layers - k
     head = jax.tree.map(lambda a: a[:split], params["layers"])
-    x = jax.lax.stop_gradient(encoder(head, x, cfg.num_heads, **kwargs))
+    # Frozen prefix runs under stop_gradient: no backward exists to stay
+    # consistent with, so its flash kernels may use the input-dtype softmax
+    # (2x VPU exp rate in bf16). The trainable tail keeps fp32 softmax.
+    x = jax.lax.stop_gradient(
+        encoder(head, x, cfg.num_heads, fast_softmax=fast, **kwargs)
+    )
     if k > 0:
         tail = jax.tree.map(lambda a: a[split:], params["layers"])
         x = encoder(tail, x, cfg.num_heads, **kwargs)

@@ -299,7 +299,7 @@ def _group_heads(num_heads: int, head_dim: int) -> int:
 
 
 def _pk_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
-                   *, scale, hg, hd):
+                   *, scale, hg, hd, fast_softmax):
     q = q_ref[0]  # [BQ, hg*hd]
     k = k_ref[0]  # [S_pad, hg*hd]
     v = v_ref[0]
@@ -319,12 +319,25 @@ def _pk_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
         # row (0 real / -1e30 pad) instead of iota+compare+select passes
         s = s + bias_ref[0]
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        oh = jax.lax.dot_general(
-            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) / l
+        if fast_softmax and v.dtype != jnp.float32:
+            # exp in the input dtype (2x VPU rate, half the VMEM traffic on
+            # the [BQ, S] weights; and no final cast before the p@v matmul).
+            # Only used for STOP-GRADIENT (frozen) layers, where there is no
+            # backward to stay consistent with; ~0.5% attention-weight noise
+            # on activations that already carry bf16 rounding.
+            p = jnp.exp((s - m).astype(v.dtype))
+            l = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+            oh = jax.lax.dot_general(
+                p, vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / l
+        else:
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            oh = jax.lax.dot_general(
+                p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / l
         outs.append(oh)
         lses.append(m + jnp.log(l))
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
@@ -349,7 +362,7 @@ def _pk_specs(S_pad, D, BQ, lanes):
     return qspec, kvspec
 
 
-def _pk_fwd(q2, k2, v2, scale, s_real, H, hd):
+def _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False):
     B, S_pad, D = q2.shape
     hg = _group_heads(H, hd)
     G = H // hg
@@ -358,7 +371,9 @@ def _pk_fwd(q2, k2, v2, scale, s_real, H, hd):
     bias = _key_bias_row(S_pad, s_real)
     bspec = pl.BlockSpec((1, S_pad), lambda b, g, i: (0, 0),
                          memory_space=pltpu.VMEM)
-    kern = functools.partial(_pk_fwd_kernel, scale=scale, hg=hg, hd=hd)
+    kern = functools.partial(
+        _pk_fwd_kernel, scale=scale, hg=hg, hd=hd, fast_softmax=fast_softmax
+    )
     return pl.pallas_call(
         kern,
         grid=(B, G, S_pad // BLOCK_Q),
@@ -463,7 +478,7 @@ def _pk_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref, bias_ref,
     dv_ref[0] = jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
 
 
-def _transposed_bwd_from_packed(scale, s_real, H, hd, res, g):
+def _transposed_bwd_from_packed(scale, s_real, H, hd, res, g):  # noqa: D401
     """Compute (dq, dk, dv) for packed [B, S, D] tensors via the transposed
     [B*H, S, hd] kernels (layout copies included) — the hybrid fallback."""
     q2, k2, v2, o2, lse_pk = res
@@ -496,7 +511,7 @@ def _pk_bwd_mode() -> str:
     return os.environ.get("OWLVIT_PACKED_BWD", "both")
 
 
-def _pk_bwd(scale, s_real, H, hd, res, g):
+def _pk_bwd(scale, s_real, H, hd, fast_softmax, res, g):
     mode = _pk_bwd_mode()
     if mode != "both":
         dq_t, dk_t, dv_t = _transposed_bwd_from_packed(scale, s_real, H, hd, res, g)
@@ -507,16 +522,26 @@ def _pk_bwd(scale, s_real, H, hd, res, g):
     lanes = hg * hd
     do2 = g
     # dkv wants per-query rows: lse/delta as [B, G, hg, S_pad] (S in lanes).
-    lse_t = lse.transpose(0, 1, 3, 2)  # [B, G, hg, S_pad], tiny XLA transpose
-    delta_t = jnp.sum(
-        (do2.astype(jnp.float32) * o2.astype(jnp.float32)).reshape(
-            B, S_pad, G, hg, hd
-        ),
-        axis=-1,
-    ).transpose(0, 2, 3, 1)  # [B, G, hg, S_pad]
+    # The hg (=2) dim is PADDED to 8 sublanes: full-model grads faulted on
+    # device with 2-sublane full-row blocks (isolated via OWLVIT_PACKED_BWD
+    # — packed dq alone ran, packed dkv alone faulted); 8-sublane-aligned
+    # blocks are the canonical tile shape. Tensors are tiny (f32 [B,G,8,S]).
+    hs = 8
+    lse_t = jnp.pad(
+        lse.transpose(0, 1, 3, 2), ((0, 0), (0, 0), (0, hs - hg), (0, 0))
+    )  # [B, G, 8, S_pad]
+    delta_t = jnp.pad(
+        jnp.sum(
+            (do2.astype(jnp.float32) * o2.astype(jnp.float32)).reshape(
+                B, S_pad, G, hg, hd
+            ),
+            axis=-1,
+        ).transpose(0, 2, 3, 1),
+        ((0, 0), (0, 0), (0, hs - hg), (0, 0)),
+    )  # [B, G, 8, S_pad]
 
     qspec, kvspec = _pk_specs(S_pad, D, BLOCK_Q, lanes)
-    rows_full = pl.BlockSpec((1, 1, hg, S_pad), lambda b, g, i: (b, g, 0, 0),
+    rows_full = pl.BlockSpec((1, 1, hs, S_pad), lambda b, g, i: (b, g, 0, 0),
                              memory_space=pltpu.VMEM)
 
     bias = _key_bias_row(S_pad, s_real)
@@ -554,14 +579,14 @@ def _pk_bwd(scale, s_real, H, hd, res, g):
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_packed(q2, k2, v2, scale, s_real, H, hd):
-    o, _ = _pk_fwd(q2, k2, v2, scale, s_real, H, hd)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_packed(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False):
+    o, _ = _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax)
     return o
 
 
-def _flash_packed_fwd(q2, k2, v2, scale, s_real, H, hd):
-    o, lse = _pk_fwd(q2, k2, v2, scale, s_real, H, hd)
+def _flash_packed_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False):
+    o, lse = _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax)
     return o, (q2, k2, v2, o, lse)
 
 
@@ -583,7 +608,8 @@ def packed_supported(num_heads: int, head_dim: int, D: int) -> bool:
     return num_heads % hg == 0 and hg * head_dim <= D
 
 
-def flash_attention_packed(q2, k2, v2, *, scale, num_heads, valid_len=None):
+def flash_attention_packed(q2, k2, v2, *, scale, num_heads, valid_len=None,
+                           fast_softmax=False):
     """q2/k2/v2: [B, S, D] (D = H*hd), no layout change. S should already be
     a BLOCK_Q multiple (vit.forward pads once); pads here otherwise."""
     B, S, D = q2.shape
@@ -593,7 +619,9 @@ def flash_attention_packed(q2, k2, v2, *, scale, num_heads, valid_len=None):
     q2 = _pad_to(q2, S_pad, axis=1)
     k2 = _pad_to(k2, S_pad, axis=1)
     v2 = _pad_to(v2, S_pad, axis=1)
-    o = _flash_packed(q2, k2, v2, float(scale), s_real, int(num_heads), hd)
+    o = _flash_packed(
+        q2, k2, v2, float(scale), s_real, int(num_heads), hd, bool(fast_softmax)
+    )
     return o[:, :S]
 
 
@@ -607,18 +635,18 @@ def flash_attention_packed(q2, k2, v2, *, scale, num_heads, valid_len=None):
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_hybrid(q2, k2, v2, scale, s_real, H, hd):
-    o, _ = _pk_fwd(q2, k2, v2, scale, s_real, H, hd)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_hybrid(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False):
+    o, _ = _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax)
     return o
 
 
-def _flash_hybrid_fwd(q2, k2, v2, scale, s_real, H, hd):
-    o, lse = _pk_fwd(q2, k2, v2, scale, s_real, H, hd)
+def _flash_hybrid_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False):
+    o, lse = _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax)
     return o, (q2, k2, v2, o, lse)
 
 
-def _hybrid_bwd(scale, s_real, H, hd, res, g):
+def _hybrid_bwd(scale, s_real, H, hd, fast_softmax, res, g):
     q2, k2, v2, o2, lse_pk = res
     B, S_pad, D = q2.shape
     hg = _group_heads(H, hd)
@@ -650,7 +678,8 @@ def hybrid_supported(num_heads: int, head_dim: int, D: int) -> bool:
     return num_heads % hg == 0 and hg * head_dim <= D
 
 
-def flash_attention_hybrid(q2, k2, v2, *, scale, num_heads, valid_len=None):
+def flash_attention_hybrid(q2, k2, v2, *, scale, num_heads, valid_len=None,
+                           fast_softmax=False):
     """[B, S, D] in/out; packed fwd, transposed bwd."""
     B, S, D = q2.shape
     hd = D // num_heads
@@ -659,5 +688,7 @@ def flash_attention_hybrid(q2, k2, v2, *, scale, num_heads, valid_len=None):
     q2 = _pad_to(q2, S_pad, axis=1)
     k2 = _pad_to(k2, S_pad, axis=1)
     v2 = _pad_to(v2, S_pad, axis=1)
-    o = _flash_hybrid(q2, k2, v2, float(scale), s_real, int(num_heads), hd)
+    o = _flash_hybrid(
+        q2, k2, v2, float(scale), s_real, int(num_heads), hd, bool(fast_softmax)
+    )
     return o[:, :S]
