@@ -100,7 +100,7 @@ def forward(
     )
     import os
 
-    fast = os.environ.get("OWLVIT_FAST_SOFTMAX", "1") != "0"
+    fast = os.environ.get("OWLVIT_FAST_SOFTMAX", "0") == "1"  # measured -2% on chip (r2): cast pass outweighs bf16 exp
     k = trainable_last_k
     if k is None or k >= cfg.num_layers:
         x = encoder(params["layers"], x, cfg.num_heads, **kwargs)
