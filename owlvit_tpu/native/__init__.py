@@ -114,9 +114,10 @@ def build_image(force: bool = False) -> str | None:
         and os.path.getmtime(_IMG_SO) >= os.path.getmtime(_IMG_SRC)
     ):
         return _IMG_SO
+    # -march=native is safe: the library is built on the host it runs on.
     cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-o", _IMG_SO, _IMG_SRC,
-        "-ljpeg", "-lpng", "-lz", "-lpthread",
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _IMG_SO,
+        _IMG_SRC, "-ljpeg", "-lpng", "-lz", "-lpthread",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=180)

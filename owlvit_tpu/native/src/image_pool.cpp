@@ -98,6 +98,8 @@ void normalize_coeffs_8bpc(const std::vector<double>& prekk,
 }
 
 // in: [inH, inW, 3] -> out: [inH, outW, 3]
+// Three channel accumulators per output pixel so every tap is one
+// contiguous 3-byte load (single pass over the taps, auto-vectorizable).
 void resample_horizontal(const unsigned char* in, int inH, int inW,
                          unsigned char* out, int outW,
                          const std::vector<int>& bounds,
@@ -109,36 +111,43 @@ void resample_horizontal(const unsigned char* in, int inH, int inW,
             int xmin = bounds[xx * 2 + 0];
             int xmax = bounds[xx * 2 + 1];
             const int* k = &kk[(size_t)xx * ksize];
-            for (int b = 0; b < 3; b++) {
-                int ss = 1 << (PRECISION_BITS - 1);
-                for (int x = 0; x < xmax; x++) {
-                    ss += row[(size_t)(x + xmin) * 3 + b] * k[x];
-                }
-                orow[(size_t)xx * 3 + b] = clip8(ss);
+            int s0 = 1 << (PRECISION_BITS - 1), s1 = s0, s2 = s0;
+            const unsigned char* p = row + (size_t)xmin * 3;
+            for (int x = 0; x < xmax; x++, p += 3) {
+                int c = k[x];
+                s0 += p[0] * c;
+                s1 += p[1] * c;
+                s2 += p[2] * c;
             }
+            orow[(size_t)xx * 3 + 0] = clip8(s0);
+            orow[(size_t)xx * 3 + 1] = clip8(s1);
+            orow[(size_t)xx * 3 + 2] = clip8(s2);
         }
     }
 }
 
 // in: [inH, W, 3] -> out: [outH, W, 3]
+// Row-wise AXPY into an int32 row accumulator: each tap streams the whole
+// contiguous [W*3] source row (gcc auto-vectorizes both loops).
 void resample_vertical(const unsigned char* in, int inH, int W,
                        unsigned char* out, int outH,
                        const std::vector<int>& bounds,
                        const std::vector<int>& kk, int ksize) {
+    const int rowlen = W * 3;
+    std::vector<int> acc(rowlen);
     for (int yy = 0; yy < outH; yy++) {
         int ymin = bounds[yy * 2 + 0];
         int ymax = bounds[yy * 2 + 1];
         const int* k = &kk[(size_t)yy * ksize];
-        unsigned char* orow = out + (size_t)yy * W * 3;
-        for (int xx = 0; xx < W; xx++) {
-            for (int b = 0; b < 3; b++) {
-                int ss = 1 << (PRECISION_BITS - 1);
-                for (int y = 0; y < ymax; y++) {
-                    ss += in[((size_t)(y + ymin) * W + xx) * 3 + b] * k[y];
-                }
-                orow[(size_t)xx * 3 + b] = clip8(ss);
-            }
+        int init = 1 << (PRECISION_BITS - 1);
+        for (int i = 0; i < rowlen; i++) acc[i] = init;
+        for (int y = 0; y < ymax; y++) {
+            const unsigned char* srow = in + (size_t)(y + ymin) * rowlen;
+            int c = k[y];
+            for (int i = 0; i < rowlen; i++) acc[i] += srow[i] * c;
         }
+        unsigned char* orow = out + (size_t)yy * rowlen;
+        for (int i = 0; i < rowlen; i++) orow[i] = clip8(acc[i]);
     }
 }
 
