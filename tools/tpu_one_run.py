@@ -2,7 +2,7 @@
 cascades failures within a process, so every experiment gets its own).
 
 Usage: python tools/tpu_one_run.py NAME [batch=32] [packed=0] [bwd=both]
-       [fused=0] [model=b16] [k=1] [dtype=bfloat16] [steps=20]
+       [fused=0] [model=b16] [k=1] [dtype=bfloat16] [steps=20] [remat=0]
 Appends one JSON line to /tmp/tpu_runs.jsonl.
 """
 
@@ -36,6 +36,18 @@ try:
     (jnp.ones((256, 256)) @ jnp.ones((256, 256))).block_until_ready()
     rec["probe_s"] = round(time.time() - t0, 1)
     import bench
+
+    if args.get("remat") == "1":
+        import owlvit_tpu.models.configs as _cfgs
+        _orig = _cfgs.get_config
+        def _patched(name, **kw):
+            kw["remat"] = True
+            return _orig(name, **kw)
+        _cfgs.get_config = _patched
+        import owlvit_tpu.models as _m
+        _m.get_config = _patched
+        import bench as _b
+        _b.get_config = _patched  # in case of direct import
 
     t = time.time()
     step, state, data = bench._build(model, batch, dtype, trainable_last_k=k)
