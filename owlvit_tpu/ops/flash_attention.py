@@ -344,6 +344,19 @@ def _pk_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
     lse_ref[0, 0] = jnp.concatenate(lses, axis=-1)  # [BQ, hg]
 
 
+def _pk_compiler_params():
+    """Optional Mosaic hints for the packed kernels (A/B via env):
+    OWLVIT_DIMSEM=1 marks the (B, G) grid dims parallel (the q/k-block dim
+    stays arbitrary so full-row K/V block residency is preserved)."""
+    import os
+
+    if os.environ.get("OWLVIT_DIMSEM") != "1":
+        return None
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary")
+    )
+
+
 def _key_bias_row(S_pad: int, s_real: int):
     """[1, S_pad] fp32 additive mask row: 0 for real keys, -1e30 for pad.
     One broadcast ADD inside the kernels replaces iota+compare+select."""
@@ -377,6 +390,7 @@ def _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False):
     return pl.pallas_call(
         kern,
         grid=(B, G, S_pad // BLOCK_Q),
+        compiler_params=_pk_compiler_params(),
         in_specs=[qspec, kvspec, kvspec, bspec],
         out_specs=[
             qspec,
@@ -551,6 +565,7 @@ def _pk_bwd(scale, s_real, H, hd, fast_softmax, res, g):
         dq = pl.pallas_call(
             functools.partial(_pk_dq_kernel, scale=scale, hg=hg, hd=hd),
             grid=(B, G, S_pad // BLOCK_Q),
+            compiler_params=_pk_compiler_params(),
             in_specs=[qspec, kvspec, kvspec, qspec, qspec, bspec2],
             out_specs=qspec,
             out_shape=jax.ShapeDtypeStruct((B, S_pad, D), q2.dtype),
@@ -565,6 +580,7 @@ def _pk_bwd(scale, s_real, H, hd, fast_softmax, res, g):
                 _pk_dkv_kernel, scale=scale, s_real=s_real, hg=hg, hd=hd
             ),
             grid=(B, G, S_pad // BLOCK_Q),
+            compiler_params=_pk_compiler_params(),
             in_specs=[qspec, qspec, kvspec, kvspec, rows_full, rows_full,
                       bspec2],
             out_specs=[qspec, qspec],
