@@ -138,7 +138,16 @@ def _cmd_export(args):
 
     trainer = Trainer(load_config(args.config), workdir=args.workdir)
     params = combine_params(trainer.state.trainable, trainer.state.frozen)
-    blob = export_detector(params, trainer.model_cfg, batch_size=args.batch_size)
+    if args.weightless:
+        from owlvit_tpu.train.export import export_detector_weightless
+
+        blob = export_detector_weightless(
+            params, trainer.model_cfg, batch_size=args.batch_size
+        )
+    else:
+        blob = export_detector(
+            params, trainer.model_cfg, batch_size=args.batch_size
+        )
     save_exported(args.out, blob)
     print(f"wrote {args.out} ({len(blob)} bytes)")
 
@@ -197,6 +206,8 @@ def main(argv=None):
     sp.add_argument("--workdir", default=".")
     sp.add_argument("--out", required=True)
     sp.add_argument("--batch-size", type=int, default=1)
+    sp.add_argument("--weightless", action="store_true",
+                    help="export the graph only; bind weights at load time")
     sp.set_defaults(fn=_cmd_export)
 
     sp = sub.add_parser("convert")

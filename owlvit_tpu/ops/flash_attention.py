@@ -30,7 +30,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_Q = 128
+import os as _os
+
+# Query/key block rows. 128 is the measured default; OWLVIT_BLOCK_Q=256
+# halves the program count at ~5% extra padded rows (read at import so the
+# pad-once in vit.forward and the kernels always agree).
+BLOCK_Q = int(_os.environ.get("OWLVIT_BLOCK_Q", "128"))
 _NEG = -1e30
 
 # Interpret mode runs the kernels in the Pallas interpreter (CPU tests).

@@ -306,3 +306,37 @@ def test_real_checkpoint_without_vocab_refuses(tmp_path):
     )
     with pytest.raises(ValueError, match="HashTokenizer"):
         Trainer(c, workdir=str(tmp_path))
+
+
+def test_export_weightless_roundtrip():
+    """Weightless artifact: graph-only blob (orders of magnitude smaller),
+    weights bound at load time — same outputs as the baked-in export."""
+    import jax.numpy as jnp
+
+    from owlvit_tpu.train.export import (
+        export_detector,
+        export_detector_weightless,
+        load_exported,
+        load_exported_weightless,
+    )
+
+    cfg = get_config("tiny")
+    params = owlvit.init(jax.random.PRNGKey(0), cfg, num_queries=6)
+    blob_full = export_detector(params, cfg, batch_size=1)
+    blob_wl = export_detector_weightless(params, cfg, batch_size=1)
+    assert len(blob_wl) < len(blob_full) / 2  # no weights inside
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(
+        0, 255, size=(1, cfg.vision.image_size, cfg.vision.image_size, 3),
+        dtype=np.uint8,
+    )
+    a = load_exported(blob_full)(imgs)
+    params_j = jax.tree.map(jnp.asarray, params)
+    b = load_exported_weightless(blob_wl, params_j)(imgs)
+    np.testing.assert_allclose(
+        np.asarray(a[0]), np.asarray(b[0]), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a[1]), np.asarray(b[1]), rtol=1e-6, atol=1e-6
+    )
