@@ -139,11 +139,17 @@ def _cmd_export(args):
     trainer = Trainer(load_config(args.config), workdir=args.workdir)
     params = combine_params(trainer.state.trainable, trainer.state.frozen)
     if args.weightless:
+        from owlvit_tpu.models.convert import save_params
         from owlvit_tpu.train.export import export_detector_weightless
 
         blob = export_detector_weightless(
             params, trainer.model_cfg, batch_size=args.batch_size
         )
+        # the artifact is graph-only: persist the CURRENT (fine-tuned)
+        # weights next to it — binding a stale converter npz would silently
+        # serve pre-finetune weights
+        save_params(args.out + ".npz", params)
+        print(f"wrote {args.out}.npz (weights for load_exported_weightless)")
     else:
         blob = export_detector(
             params, trainer.model_cfg, batch_size=args.batch_size

@@ -108,12 +108,14 @@ _img_tried = False
 
 
 def build_image(force: bool = False) -> str | None:
-    if (
-        os.path.exists(_IMG_SO)
-        and not force
-        and os.path.getmtime(_IMG_SO) >= os.path.getmtime(_IMG_SRC)
-    ):
-        return _IMG_SO
+    if os.path.exists(_IMG_SO) and not force:
+        # a shipped .so without the src tree is still usable
+        if not os.path.exists(_IMG_SRC):
+            return _IMG_SO
+        if os.path.getmtime(_IMG_SO) >= os.path.getmtime(_IMG_SRC):
+            return _IMG_SO
+    if not os.path.exists(_IMG_SRC):
+        return None
     # -march=native is safe: the library is built on the host it runs on.
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _IMG_SO,

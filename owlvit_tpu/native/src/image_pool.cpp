@@ -239,9 +239,15 @@ bool decode_png(const unsigned char* buf, size_t len,
     png_set_read_fn(png, &state, png_mem_read);
     png_read_info(png, info);
 
+    if (png_get_bit_depth(png, info) > 8) {
+        // 16-bit PNGs: PIL opens these as mode "I" and convert("RGB")
+        // CLIPS at 255, which strip_16 (>>8) would not reproduce. Refuse
+        // (ok=0) so the caller's PIL fallback keeps pixels identical.
+        png_destroy_read_struct(&png, &info, nullptr);
+        return false;
+    }
     png_set_palette_to_rgb(png);
     png_set_expand_gray_1_2_4_to_8(png);
-    png_set_strip_16(png);
     png_set_strip_alpha(png);  // PIL convert("RGB") drops alpha
     png_set_gray_to_rgb(png);
     png_read_update_info(png, info);

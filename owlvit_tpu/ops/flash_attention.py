@@ -530,7 +530,19 @@ def _pk_bwd_mode() -> str:
     return os.environ.get("OWLVIT_PACKED_BWD", "both")
 
 
+def _check_differentiable(fast_softmax: bool) -> None:
+    if fast_softmax:
+        raise NotImplementedError(
+            "fast_softmax=True has no consistent backward (the forward "
+            "computed softmax weights in the input dtype; the backward "
+            "recomputes them in fp32). It is only for layers under "
+            "stop_gradient — vit.forward applies it to the frozen prefix "
+            "exactly so. Pass fast_softmax=False on differentiated calls."
+        )
+
+
 def _pk_bwd(scale, s_real, H, hd, fast_softmax, res, g):
+    _check_differentiable(fast_softmax)
     mode = _pk_bwd_mode()
     if mode != "both":
         dq_t, dk_t, dv_t = _transposed_bwd_from_packed(scale, s_real, H, hd, res, g)
@@ -668,27 +680,8 @@ def _flash_hybrid_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False):
 
 
 def _hybrid_bwd(scale, s_real, H, hd, fast_softmax, res, g):
-    q2, k2, v2, o2, lse_pk = res
-    B, S_pad, D = q2.shape
-    hg = _group_heads(H, hd)
-    G = H // hg
-
-    def to3(x):  # [B, S_pad, D] -> [B*H, S_pad, hd]
-        return (
-            x.reshape(B, S_pad, H, hd).transpose(0, 2, 1, 3).reshape(B * H, S_pad, hd)
-        )
-
-    def from3(x):
-        return (
-            x.reshape(B, H, S_pad, hd).transpose(0, 2, 1, 3).reshape(B, S_pad, D)
-        )
-
-    # lse: [B, G, S_pad, hg] -> [B*H, S_pad, 1]
-    lse3 = lse_pk.transpose(0, 1, 3, 2).reshape(B * H, S_pad)[..., None]
-    dq3, dk3, dv3 = _bwd(
-        scale, s_real, (to3(q2), to3(k2), to3(v2), to3(o2), lse3), to3(g)
-    )
-    return from3(dq3), from3(dk3), from3(dv3)
+    _check_differentiable(fast_softmax)
+    return _transposed_bwd_from_packed(scale, s_real, H, hd, res, g)
 
 
 _flash_hybrid.defvjp(_flash_hybrid_fwd, _hybrid_bwd)

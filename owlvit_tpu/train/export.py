@@ -51,8 +51,9 @@ def export_detector_weightless(params: dict, cfg, batch_size: int = 1) -> bytes:
     """Serialize the inference GRAPH with params as call-time inputs.
 
     The artifact holds only the program (a few MB vs the full model size);
-    weights ship separately as the npz the converter already produces.
-    Pair with load_exported_weightless(blob, params)."""
+    weights ship separately — `cli export --weightless` writes the CURRENT
+    (fine-tuned) params to <out>.npz alongside the artifact. Pair with
+    load_exported_weightless(blob, convert.load_params(npz))."""
     cfg = cfg.replace(trainable_last_k=None)
     size = cfg.vision.image_size
 

@@ -189,6 +189,11 @@ class Trainer:
     def _build_query_bank(self, params) -> jnp.ndarray:
         """CLIP-text-encode 3 prompts per class (reference models.py:155-171)."""
         m = self.cfg.model
+        if bool(m.clip_vocab) != bool(m.clip_merges):
+            raise ValueError(
+                "model.clip_vocab and model.clip_merges must be set together "
+                f"(got clip_vocab={m.clip_vocab!r}, clip_merges={m.clip_merges!r})"
+            )
         if m.clip_vocab and m.clip_merges:
             tok = CLIPTokenizer(m.clip_vocab, m.clip_merges,
                                 max_len=self.model_cfg.text.max_len)

@@ -199,3 +199,49 @@ def test_model_grads_flash_packed_vs_xla(rng, monkeypatch):
         )
     # k bias must cancel in softmax: its grad is exactly ~0
     assert float(jnp.max(jnp.abs(gf["vision"]["layers"]["attn"]["k"]["bias"]))) < 1e-4
+
+
+def test_fast_softmax_refuses_differentiation(rng):
+    """fast_softmax=True is only valid under stop_gradient (frozen layers):
+    its forward has no consistent backward, so grad must raise."""
+    from owlvit_tpu.ops.flash_attention import flash_attention_packed
+
+    B, S, H, hd = 1, 128, 2, 64
+    D = H * hd
+    q, k, v = (jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32))
+               for _ in range(3))
+
+    def f(q, k, v):
+        o = flash_attention_packed(
+            q, k, v, scale=hd**-0.5, num_heads=H, fast_softmax=True
+        )
+        return jnp.sum(o)
+
+    assert np.isfinite(float(f(q, k, v)))  # plain forward is fine
+    with pytest.raises(NotImplementedError, match="stop_gradient"):
+        jax.grad(f)(q, k, v)
+
+    # and the intended use keeps working: frozen prefix + grad of the tail
+    import os
+
+    from owlvit_tpu.models import get_config, owlvit
+
+    os.environ["OWLVIT_FAST_SOFTMAX"] = "1"
+    try:
+        cfg = get_config("tiny", attention_impl="flash", trainable_last_k=1)
+        params = owlvit.init(jax.random.PRNGKey(0), cfg, num_queries=6)
+        img = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, 96, 96, 3)), jnp.float32
+        )
+
+        def loss(p):
+            b, s = owlvit.forward_train(p, cfg, img)
+            return jnp.sum(b * b) + jnp.sum(s * s)
+
+        g = jax.grad(loss)(params)
+        assert all(
+            bool(jnp.isfinite(x).all())
+            for x in jax.tree_util.tree_leaves(g)
+        )
+    finally:
+        os.environ.pop("OWLVIT_FAST_SOFTMAX", None)

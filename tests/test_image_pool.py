@@ -107,3 +107,39 @@ def test_cache_build_uses_batch_decode(tmp_path):
         np.testing.assert_array_equal(
             ds_cached[i]["image"], ds_plain[i]["image"]
         )
+
+
+def test_16bit_png_falls_back_to_pil(tmp_path):
+    """16-bit PNGs: PIL's convert('RGB') clips mode-'I' pixels at 255,
+    which strip_16 would not reproduce — the native decoder must refuse
+    (ok=0) so the PIL fallback keeps the pixel contract."""
+    if native.image_lib() is None:
+        pytest.skip("native image library unavailable")
+    arr16 = (np.arange(40 * 30, dtype=np.uint32).reshape(30, 40) * 97 % 65536
+             ).astype(np.uint16)
+    p16 = str(tmp_path / "deep.png")
+    Image.fromarray(arr16, mode="I;16").save(p16)
+    out, wh, ok = native.decode_resize_batch([p16], 32)
+    assert not ok[0]
+    # and the dataset-level batch path produces PIL-identical pixels
+    ds_dir = tmp_path / "imgs"
+    ds_dir.mkdir()
+    import shutil
+
+    shutil.copy(p16, ds_dir / "deep.png")
+    ref, w, h = _pil_reference(str(ds_dir / "deep.png"), 32)
+    from owlvit_tpu.data.dataset import DetectionDataset  # noqa: F401
+
+    # direct helper-level check via a dataset-free call:
+    from owlvit_tpu.data import dataset as ds_mod
+
+    class _D:
+        images_dir = str(ds_dir)
+        image_size = 32
+        native_decode = True
+        _decode_resize = ds_mod.DetectionDataset._decode_resize
+        _decode_resize_many = ds_mod.DetectionDataset._decode_resize_many
+
+    d = _D()
+    imgs, whs = _D._decode_resize_many(d, ["deep.png"])
+    np.testing.assert_array_equal(imgs[0], ref)

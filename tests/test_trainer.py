@@ -340,3 +340,18 @@ def test_export_weightless_roundtrip():
     np.testing.assert_allclose(
         np.asarray(a[1]), np.asarray(b[1]), rtol=1e-6, atol=1e-6
     )
+
+
+def test_partial_clip_vocab_config_refuses(tmp_path):
+    """clip_vocab without clip_merges (or vice versa) is a config mistake:
+    silently proceeding would use the HashTokenizer despite a real vocab."""
+    c = Config(
+        data=DataConfig(
+            synthetic_root=str(tmp_path / "synth"), num_train_images=4,
+            num_test_images=2, max_gt=8, synthetic_classes=2,
+        ),
+        training=TrainingConfig(n_epochs=1, batch_size=2, top_k=16),
+        model=ModelConfig(name="tiny", clip_vocab=str(tmp_path / "vocab.json")),
+    )
+    with pytest.raises(ValueError, match="clip_vocab and model.clip_merges"):
+        Trainer(c, workdir=str(tmp_path))

@@ -23,7 +23,7 @@ k = args.get("k", "1")
 k = None if k in ("none", "null") else int(k)
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ["OWLVIT_PACKED_FLASH"] = args.get("packed", "0")
+os.environ["OWLVIT_PACKED_FLASH"] = args.get("packed", "1")  # match production default
 os.environ["OWLVIT_PACKED_BWD"] = args.get("bwd", "both")
 os.environ["OWLVIT_FUSED_LN"] = args.get("fused", "0")
 
