@@ -31,7 +31,11 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(x, approximate=False)
 
 
-def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+def linear(p: dict, x: jnp.ndarray, quantized: bool = False) -> jnp.ndarray:
+    if quantized:
+        from owlvit_tpu.ops.quant import linear_q
+
+        return linear_q(p, x)
     y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
@@ -95,6 +99,7 @@ def attention(
     impl: str = "xla",
     valid_len: Optional[int] = None,
     fast_softmax: bool = False,
+    quantized: bool = False,
 ) -> jnp.ndarray:
     """Multi-head self-attention. x: [B, S, D]; bias: additive [B, 1|H, S, S].
 
@@ -118,23 +123,23 @@ def attention(
             packed_supported,
         )
 
-        q2 = linear(p["q"], x)
-        k2 = linear(p["k"], x)
-        v2 = linear(p["v"], x)
+        q2 = linear(p["q"], x, quantized)
+        k2 = linear(p["k"], x, quantized)
+        v2 = linear(p["v"], x, quantized)
         if packed_supported(num_heads, head_dim, D):
             # fully transpose-free (experimental, see packed_supported)
             o2 = flash_attention_packed(
                 q2, k2, v2, scale=scale, num_heads=num_heads,
                 valid_len=valid_len, fast_softmax=fast_softmax,
             )
-            return linear(p["out"], o2)
+            return linear(p["out"], o2, quantized)
         if hybrid_supported(num_heads, head_dim, D):
             # packed forward (no layout copies), transposed backward
             o2 = flash_attention_hybrid(
                 q2, k2, v2, scale=scale, num_heads=num_heads,
                 valid_len=valid_len, fast_softmax=fast_softmax,
             )
-            return linear(p["out"], o2)
+            return linear(p["out"], o2, quantized)
         o = flash_attention(
             q2.reshape(B, S, num_heads, head_dim),
             k2.reshape(B, S, num_heads, head_dim),
@@ -172,8 +177,8 @@ def init_mlp(key, dim: int, hidden: int) -> dict:
     return {"fc1": init_linear(k1, dim, hidden), "fc2": init_linear(k2, hidden, dim)}
 
 
-def mlp(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    return linear(p["fc2"], quick_gelu(linear(p["fc1"], x)))
+def mlp(p: dict, x: jnp.ndarray, quantized: bool = False) -> jnp.ndarray:
+    return linear(p["fc2"], quick_gelu(linear(p["fc1"], x, quantized)), quantized)
 
 
 def init_encoder_layer(key, dim: int, hidden: int) -> dict:
@@ -205,15 +210,16 @@ def encoder_block(
     impl: str = "xla",
     valid_len: Optional[int] = None,
     fast_softmax: bool = False,
+    quantized: bool = False,
 ) -> jnp.ndarray:
     h = layer_norm(p["ln1"], x, eps)
     h = attention(
         p["attn"], h, num_heads, bias=bias, causal=causal, impl=impl,
-        valid_len=valid_len, fast_softmax=fast_softmax,
+        valid_len=valid_len, fast_softmax=fast_softmax, quantized=quantized,
     )
     x = x + h
     h = layer_norm(p["ln2"], x, eps)
-    h = mlp(p["mlp"], h)
+    h = mlp(p["mlp"], h, quantized)
     return x + h
 
 
@@ -239,6 +245,7 @@ def encoder(
     remat: bool = False,
     valid_len: Optional[int] = None,
     fast_softmax: bool = False,
+    quantized: bool = False,
 ) -> jnp.ndarray:
     """Run the stacked encoder with lax.scan (one trace for all layers).
 
@@ -256,10 +263,10 @@ def encoder(
             xi, y1 = add_ln(res, br, layer_p["ln1"], eps)
             a = attention(
                 layer_p["attn"], y1, num_heads, impl=impl, valid_len=valid_len,
-                fast_softmax=fast_softmax,
+                fast_softmax=fast_softmax, quantized=quantized,
             )
             x2, y2 = add_ln(xi, a, layer_p["ln2"], eps)
-            m = mlp(layer_p["mlp"], y2)
+            m = mlp(layer_p["mlp"], y2, quantized)
             return (x2, m), None
 
         if remat:
@@ -272,6 +279,7 @@ def encoder(
             encoder_block(
                 layer_p, h, num_heads, eps, bias=bias, causal=causal, impl=impl,
                 valid_len=valid_len, fast_softmax=fast_softmax,
+                quantized=quantized,
             ),
             None,
         )

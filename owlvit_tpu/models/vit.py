@@ -101,6 +101,7 @@ def forward(
     import os
 
     fast = os.environ.get("OWLVIT_FAST_SOFTMAX", "0") == "1"  # measured -2% on chip (r2): cast pass outweighs bf16 exp
+    quant = os.environ.get("OWLVIT_QUANT_BACKBONE", "0") == "1"  # int8 frozen prefix (opt-in; see ops/quant.py caveats)
     k = trainable_last_k
     if k is None or k >= cfg.num_layers:
         x = encoder(params["layers"], x, cfg.num_heads, **kwargs)
@@ -112,7 +113,8 @@ def forward(
     # consistent with, so its flash kernels may use the input-dtype softmax
     # (2x VPU exp rate in bf16). The trainable tail keeps fp32 softmax.
     x = jax.lax.stop_gradient(
-        encoder(head, x, cfg.num_heads, fast_softmax=fast, **kwargs)
+        encoder(head, x, cfg.num_heads, fast_softmax=fast, quantized=quant,
+                **kwargs)
     )
     if k > 0:
         tail = jax.tree.map(lambda a: a[split:], params["layers"])

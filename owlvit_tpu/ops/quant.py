@@ -1,0 +1,62 @@
+"""Dynamic int8 quantized linear for the FROZEN backbone (opt-in).
+
+The frozen encoder prefix is inference-only (vit.forward runs it under
+stop_gradient), so its projection/MLP matmuls — which already run at bf16
+MXU peak — can use the int8 MXU path at 2x the peak rate:
+
+    y = (x_int8 @ w_int8) * (x_scale * w_scale[c]) + bias
+
+  * weights: per-output-channel symmetric scales (error <= 0.4%)
+  * activations: per-tensor dynamic symmetric scale (computed per call —
+    one abs-max reduce + one cast pass, far cheaper than the matmul saved)
+  * accumulation in int32, rescale in fp32, output in the input dtype
+
+Quantization happens ON THE FLY inside the jitted step: frozen weights are
+function inputs (not constants), and the per-step quantize cost over all
+frozen weights is ~0.2 ms — this avoids any parameter-pytree surgery and
+keeps checkpoints/sharding unchanged.
+
+CAVEAT (why this is opt-in, `OWLVIT_QUANT_BACKBONE=1`): CLIP ViTs carry
+large activation outliers in late layers; per-tensor activation scales can
+cost real accuracy. Validate mAP on your data before enabling in training
+runs. Gradients are undefined through the rounding — the frozen prefix is
+the only sanctioned call site (mirrors fast_softmax's contract).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _per_tensor_scale(x: jnp.ndarray) -> jnp.ndarray:
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    return jnp.maximum(amax, 1e-12) / 127.0
+
+
+def _per_channel_scale(w: jnp.ndarray) -> jnp.ndarray:
+    """w [D_in, D_out] -> [D_out] symmetric scales."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    return jnp.maximum(amax, 1e-12) / 127.0
+
+
+def _quantize(x: jnp.ndarray, scale) -> jnp.ndarray:
+    q = jnp.round(x.astype(jnp.float32) / scale)
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+
+def linear_q(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """int8 x int8 -> int32 linear with dynamic scales; y in x.dtype."""
+    w = p["kernel"]
+    w_scale = _per_channel_scale(w)  # [D_out]
+    x_scale = _per_tensor_scale(x)  # scalar
+    xq = _quantize(x, x_scale)
+    wq = _quantize(w, w_scale[None, :])
+    acc = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (x_scale * w_scale)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
