@@ -59,6 +59,7 @@ class OwlViTConfig:
     dtype: str = "float32"  # compute dtype: "float32" | "bfloat16"
     attention_impl: str = "auto"  # "auto" | "xla" | "flash"
     remat: bool = False  # rematerialize encoder blocks under grad
+    quant_backbone: bool = False  # int8 frozen prefix (ops/quant.py caveats)
     # Fine-tuning freeze boundary: only the last k vision layers get
     # gradients (reference trains only layers.11, models.py:173-184).
     # None = no stop_gradient split (inference / full fine-tune).

@@ -94,6 +94,7 @@ def image_embedder(params: dict, cfg: OwlViTConfig, pixel_values: jnp.ndarray):
         attention_impl=_attn_impl(cfg),
         remat=cfg.remat,
         trainable_last_k=cfg.trainable_last_k,
+        quant_backbone=cfg.quant_backbone,
     )
     x = layer_norm(params["vision"]["post_ln"], last_hidden, cfg.vision.layer_norm_eps)
     cls, patches = x[:, :1, :], x[:, 1:, :]

@@ -58,6 +58,7 @@ def forward(
     attention_impl: str = "xla",
     remat: bool = False,
     trainable_last_k: int | None = None,
+    quant_backbone: bool = False,
 ) -> jnp.ndarray:
     """[B, H, W, 3] -> last_hidden_state [B, 1+P, D] (pre post-LN, like HF's
     encoder output; callers apply post_ln where the pipeline requires it —
@@ -101,7 +102,7 @@ def forward(
     import os
 
     fast = os.environ.get("OWLVIT_FAST_SOFTMAX", "0") == "1"  # measured -2% on chip (r2): cast pass outweighs bf16 exp
-    quant = os.environ.get("OWLVIT_QUANT_BACKBONE", "0") == "1"  # int8 frozen prefix (opt-in; see ops/quant.py caveats)
+    quant = quant_backbone or os.environ.get("OWLVIT_QUANT_BACKBONE") == "1"
     k = trainable_last_k
     if k is None or k >= cfg.num_layers:
         x = encoder(params["layers"], x, cfg.num_heads, **kwargs)

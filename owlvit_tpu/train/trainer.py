@@ -81,6 +81,7 @@ class Trainer:
             attention_impl=cfg.model.attention_impl,
             remat=cfg.model.remat,
             trainable_last_k=cfg.model.trainable_last_k,
+            quant_backbone=cfg.model.quant_backbone,
         )
         size = self.model_cfg.vision.image_size
 
