@@ -380,34 +380,110 @@ def _pk_specs(S_pad, D, BQ, lanes):
     return qspec, kvspec
 
 
-def _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False):
-    B, S_pad, D = q2.shape
-    hg = _group_heads(H, hd)
-    G = H // hg
-    lanes = hg * hd
-    qspec, kvspec = _pk_specs(S_pad, D, BLOCK_Q, lanes)
-    bias = _key_bias_row(S_pad, s_real)
-    bspec = pl.BlockSpec((1, S_pad), lambda b, g, i: (0, 0),
-                         memory_space=pltpu.VMEM)
-    kern = functools.partial(
-        _pk_fwd_kernel, scale=scale, hg=hg, hd=hd, fast_softmax=fast_softmax
+# --------------------------------------------------------------------------
+# GSPMD batch partitioning for the pallas calls.
+#
+# Without this, the partitioner has no rule for a pallas_call and falls back
+# to FULL REPLICATION: measured on the 8-device CPU mesh, a dp-sharded batch
+# hit 15 all-gathers around the flash kernels — on real multi-chip every
+# chip would receive the whole batch. custom_partitioning declares the
+# obvious rule: everything (inputs, outputs) is sharded on the leading
+# batch dim, and each shard runs the same kernel locally.
+# --------------------------------------------------------------------------
+
+
+def _batch_sharded(fn, sharding_rule: str, need_replication=()):
+    """Wrap fn(*arrays) -> tuple(arrays), ALL with a leading batch dim, so
+    GSPMD shards it along whatever mesh axis the first input's batch dim
+    uses (replicated when none). sharding_rule is the Shardy einsum-like
+    rule (e.g. "b s d, b s d -> b s d"); non-batch factors are declared
+    need-replication so sharding S/D would insert gathers instead of
+    silently computing block-local attention."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    cp = custom_partitioning(fn)
+
+    def _batch_axis(arg_shapes):
+        for a in arg_shapes:
+            sh = getattr(a, "sharding", None)
+            spec = getattr(sh, "spec", None)
+            if spec and len(spec) and spec[0] is not None:
+                return spec[0]
+        return None
+
+    def _shardings(mesh, axis, shapes):
+        return tuple(
+            NamedSharding(mesh, PartitionSpec(axis, *([None] * (len(x.shape) - 1))))
+            for x in shapes
+        )
+
+    def infer(mesh, arg_shapes, result_shape):
+        axis = _batch_axis(arg_shapes)
+        res = result_shape if isinstance(result_shape, (list, tuple)) else (result_shape,)
+        out = _shardings(mesh, axis, res)
+        return out if isinstance(result_shape, (list, tuple)) else out[0]
+
+    def partition(mesh, arg_shapes, result_shape):
+        axis = _batch_axis(arg_shapes)
+        res = result_shape if isinstance(result_shape, (list, tuple)) else (result_shape,)
+        res_sh = _shardings(mesh, axis, res)
+        if not isinstance(result_shape, (list, tuple)):
+            res_sh = res_sh[0]
+        return (
+            mesh,
+            fn,
+            res_sh,
+            _shardings(mesh, axis, arg_shapes),
+        )
+
+    cp.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=sharding_rule,
+        need_replication_factors=tuple(need_replication),
     )
-    return pl.pallas_call(
-        kern,
-        grid=(B, G, S_pad // BLOCK_Q),
-        compiler_params=_pk_compiler_params(),
-        in_specs=[qspec, kvspec, kvspec, bspec],
-        out_specs=[
-            qspec,
-            pl.BlockSpec((1, 1, BLOCK_Q, hg), lambda b, g, i: (b, g, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, S_pad, D), q2.dtype),
-            jax.ShapeDtypeStruct((B, G, S_pad, hg), jnp.float32),
-        ],
-        interpret=_interpret(),
-    )(q2, k2, v2, bias)
+    return cp
+
+
+def _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False):
+    S_pad = q2.shape[1]
+
+    def core(q2, k2, v2):
+        B, S_pad, D = q2.shape
+        hg = _group_heads(H, hd)
+        G = H // hg
+        lanes = hg * hd
+        qspec, kvspec = _pk_specs(S_pad, D, BLOCK_Q, lanes)
+        bias = _key_bias_row(S_pad, s_real)
+        bspec = pl.BlockSpec((1, S_pad), lambda b, g, i: (0, 0),
+                             memory_space=pltpu.VMEM)
+        kern = functools.partial(
+            _pk_fwd_kernel, scale=scale, hg=hg, hd=hd,
+            fast_softmax=fast_softmax,
+        )
+        return pl.pallas_call(
+            kern,
+            grid=(B, G, S_pad // BLOCK_Q),
+            compiler_params=_pk_compiler_params(),
+            in_specs=[qspec, kvspec, kvspec, bspec],
+            out_specs=[
+                qspec,
+                pl.BlockSpec((1, 1, BLOCK_Q, hg), lambda b, g, i: (b, g, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, S_pad, D), q2.dtype),
+                jax.ShapeDtypeStruct((B, G, S_pad, hg), jnp.float32),
+            ],
+            interpret=_interpret(),
+        )(q2, k2, v2, bias)
+
+    return _batch_sharded(
+        core,
+        "b s d, b s d, b s d -> b s d, b g s h",
+        need_replication=("s", "d", "g", "h"),
+    )(q2, k2, v2)
 
 
 def _pk_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, bias_ref, dq_ref,
@@ -544,72 +620,82 @@ def _check_differentiable(fast_softmax: bool) -> None:
 def _pk_bwd(scale, s_real, H, hd, fast_softmax, res, g):
     _check_differentiable(fast_softmax)
     mode = _pk_bwd_mode()
-    if mode != "both":
-        dq_t, dk_t, dv_t = _transposed_bwd_from_packed(scale, s_real, H, hd, res, g)
+
+    def core(q2, k2, v2, o2, lse, do2):
+        if mode != "both":
+            dq_t, dk_t, dv_t = _transposed_bwd_from_packed(
+                scale, s_real, H, hd, (q2, k2, v2, o2, lse), do2
+            )
+        B, S_pad, D = q2.shape
+        hg = _group_heads(H, hd)
+        G = H // hg
+        lanes = hg * hd
+        # dkv wants per-query rows: lse/delta as [B, G, hg, S_pad] (S in
+        # lanes). The hg (=2) dim is PADDED to 8 sublanes: full-model grads
+        # faulted on device with 2-sublane full-row blocks (isolated via
+        # OWLVIT_PACKED_BWD — packed dq alone ran, packed dkv alone
+        # faulted); 8-sublane blocks are the canonical tile shape.
+        hs = 8
+        lse_t = jnp.pad(
+            lse.transpose(0, 1, 3, 2), ((0, 0), (0, 0), (0, hs - hg), (0, 0))
+        )  # [B, G, 8, S_pad]
+        delta_t = jnp.pad(
+            jnp.sum(
+                (do2.astype(jnp.float32) * o2.astype(jnp.float32)).reshape(
+                    B, S_pad, G, hg, hd
+                ),
+                axis=-1,
+            ).transpose(0, 2, 3, 1),
+            ((0, 0), (0, 0), (0, hs - hg), (0, 0)),
+        )  # [B, G, 8, S_pad]
+
+        qspec, kvspec = _pk_specs(S_pad, D, BLOCK_Q, lanes)
+        rows_full = pl.BlockSpec(
+            (1, 1, hs, S_pad), lambda b, g, i: (b, g, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        bias = _key_bias_row(S_pad, s_real)
+        bspec2 = pl.BlockSpec((1, S_pad), lambda b, g, i: (0, 0),
+                              memory_space=pltpu.VMEM)
+        if mode in ("both", "dq"):
+            dq = pl.pallas_call(
+                functools.partial(_pk_dq_kernel, scale=scale, hg=hg, hd=hd),
+                grid=(B, G, S_pad // BLOCK_Q),
+                compiler_params=_pk_compiler_params(),
+                in_specs=[qspec, kvspec, kvspec, qspec, qspec, bspec2],
+                out_specs=qspec,
+                out_shape=jax.ShapeDtypeStruct((B, S_pad, D), q2.dtype),
+                interpret=_interpret(),
+            )(q2, k2, v2, do2, o2, bias)
+        else:
+            dq = dq_t
+
+        if mode in ("both", "dkv"):
+            dk, dv = pl.pallas_call(
+                functools.partial(
+                    _pk_dkv_kernel, scale=scale, s_real=s_real, hg=hg, hd=hd
+                ),
+                grid=(B, G, S_pad // BLOCK_Q),
+                compiler_params=_pk_compiler_params(),
+                in_specs=[qspec, qspec, kvspec, kvspec, rows_full, rows_full,
+                          bspec2],
+                out_specs=[qspec, qspec],
+                out_shape=[
+                    jax.ShapeDtypeStruct((B, S_pad, D), k2.dtype),
+                    jax.ShapeDtypeStruct((B, S_pad, D), v2.dtype),
+                ],
+                interpret=_interpret(),
+            )(k2, v2, q2, do2, lse_t, delta_t, bias)
+        else:
+            dk, dv = dk_t, dv_t
+        return dq, dk, dv
+
     q2, k2, v2, o2, lse = res
-    B, S_pad, D = q2.shape
-    hg = _group_heads(H, hd)
-    G = H // hg
-    lanes = hg * hd
-    do2 = g
-    # dkv wants per-query rows: lse/delta as [B, G, hg, S_pad] (S in lanes).
-    # The hg (=2) dim is PADDED to 8 sublanes: full-model grads faulted on
-    # device with 2-sublane full-row blocks (isolated via OWLVIT_PACKED_BWD
-    # — packed dq alone ran, packed dkv alone faulted); 8-sublane-aligned
-    # blocks are the canonical tile shape. Tensors are tiny (f32 [B,G,8,S]).
-    hs = 8
-    lse_t = jnp.pad(
-        lse.transpose(0, 1, 3, 2), ((0, 0), (0, 0), (0, hs - hg), (0, 0))
-    )  # [B, G, 8, S_pad]
-    delta_t = jnp.pad(
-        jnp.sum(
-            (do2.astype(jnp.float32) * o2.astype(jnp.float32)).reshape(
-                B, S_pad, G, hg, hd
-            ),
-            axis=-1,
-        ).transpose(0, 2, 3, 1),
-        ((0, 0), (0, 0), (0, hs - hg), (0, 0)),
-    )  # [B, G, 8, S_pad]
-
-    qspec, kvspec = _pk_specs(S_pad, D, BLOCK_Q, lanes)
-    rows_full = pl.BlockSpec((1, 1, hs, S_pad), lambda b, g, i: (b, g, 0, 0),
-                             memory_space=pltpu.VMEM)
-
-    bias = _key_bias_row(S_pad, s_real)
-    bspec2 = pl.BlockSpec((1, S_pad), lambda b, g, i: (0, 0),
-                          memory_space=pltpu.VMEM)
-    if mode in ("both", "dq"):
-        dq = pl.pallas_call(
-            functools.partial(_pk_dq_kernel, scale=scale, hg=hg, hd=hd),
-            grid=(B, G, S_pad // BLOCK_Q),
-            compiler_params=_pk_compiler_params(),
-            in_specs=[qspec, kvspec, kvspec, qspec, qspec, bspec2],
-            out_specs=qspec,
-            out_shape=jax.ShapeDtypeStruct((B, S_pad, D), q2.dtype),
-            interpret=_interpret(),
-        )(q2, k2, v2, do2, o2, bias)
-    else:
-        dq = dq_t
-
-    if mode in ("both", "dkv"):
-        dk, dv = pl.pallas_call(
-            functools.partial(
-                _pk_dkv_kernel, scale=scale, s_real=s_real, hg=hg, hd=hd
-            ),
-            grid=(B, G, S_pad // BLOCK_Q),
-            compiler_params=_pk_compiler_params(),
-            in_specs=[qspec, qspec, kvspec, kvspec, rows_full, rows_full,
-                      bspec2],
-            out_specs=[qspec, qspec],
-            out_shape=[
-                jax.ShapeDtypeStruct((B, S_pad, D), k2.dtype),
-                jax.ShapeDtypeStruct((B, S_pad, D), v2.dtype),
-            ],
-            interpret=_interpret(),
-        )(k2, v2, q2, do2, lse_t, delta_t, bias)
-    else:
-        dk, dv = dk_t, dv_t
-    return dq, dk, dv
+    return _batch_sharded(
+        core,
+        "b s d, b s d, b s d, b s d, b g s h, b s d -> b s d, b s d, b s d",
+        need_replication=("s", "d", "g", "h"),
+    )(q2, k2, v2, o2, lse, g)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))

@@ -81,7 +81,7 @@ def _random_scene(rng, n_classes, n_images, max_dets, max_gts, quantize):
 
 
 @pytest.mark.parametrize("use_native", [True, False])
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(30))
 def test_differential_random(seed, use_native):
     rng = np.random.default_rng(seed)
     images = _random_scene(
