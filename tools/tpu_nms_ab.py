@@ -1,0 +1,77 @@
+"""A/B the eval NMS on TPU: r1 sequential-scan greedy vs r2 parallel
+fixpoint (VERDICT r1 weak #10 asked for a measured before/after)."""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from owlvit_tpu.ops import boxes as box_ops
+from owlvit_tpu.ops import nms as nms_new
+
+_NEG_INF = jnp.float32(-jnp.inf)
+
+
+def nms_scan(boxes, scores, iou_threshold, max_outputs):
+    """The round-1 implementation: top_k sequential argmax+suppress steps."""
+    iou, _ = box_ops.pairwise_iou(boxes, boxes)
+
+    def step(live_scores, _):
+        j = jnp.argmax(live_scores)
+        best = live_scores[j]
+        valid = best > _NEG_INF
+        suppress = (iou[j] > iou_threshold) | (jnp.arange(boxes.shape[0]) == j)
+        live_scores = jnp.where(valid & suppress, _NEG_INF, live_scores)
+        return live_scores, (jnp.where(valid, j, -1).astype(jnp.int32), valid)
+
+    _, (keep_idx, keep_valid) = jax.lax.scan(
+        step, scores.astype(jnp.float32), None, length=max_outputs
+    )
+    return keep_idx, keep_valid
+
+
+def postprocess_with(nms_fn, pred_boxes, pred_sims, top_k=200):
+    scores = jnp.max(pred_sims, axis=-1)
+    classes = jnp.argmax(pred_sims, axis=-1).astype(jnp.int32)
+    scores = jnp.where(scores > 0.01, scores, _NEG_INF)
+
+    def per_image(b, s, c):
+        span = jnp.max(b) - jnp.min(b) + 1.0
+        shifted = b + (c.astype(jnp.float32) * span)[:, None]
+        keep_idx, keep_valid = nms_fn(shifted, s, 0.6, top_k)
+        idx = jnp.clip(keep_idx, 0)
+        return b[idx] * keep_valid[:, None], jnp.where(keep_valid, s[idx], 0.0)
+
+    return jax.vmap(per_image)(pred_boxes.astype(jnp.float32), scores, classes)
+
+
+(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+rng = np.random.default_rng(0)
+results = {}
+for P in (576, 2304):  # b32 / b16 patch counts
+    pb = jnp.asarray(
+        np.sort(rng.random((32, P, 2, 2)), axis=2).reshape(32, P, 4) * 768,
+        jnp.float32,
+    )
+    ps = jnp.asarray(rng.random((32, P, 80)).astype(np.float32) * 0.6)
+    for name, fn in (("scan_r1", nms_scan), ("fixpoint_r2", nms_new.nms)):
+        f = jax.jit(lambda b, s, fn=fn: postprocess_with(fn, b, s))
+        o = f(pb, ps)
+        jax.block_until_ready(o)
+        t = time.time()
+        for _ in range(5):
+            o = f(pb, ps)
+        jax.block_until_ready(o)
+        ms = (time.time() - t) / 5 * 1000
+        results[f"{name}_P{P}"] = round(ms, 2)
+        print(f"{name} P={P}: {ms:.2f} ms / batch-32 postprocess", flush=True)
+
+with open("/tmp/tpu_runs.jsonl", "a") as f:
+    f.write(json.dumps({"name": "nms_ab", **results}) + "\n")
