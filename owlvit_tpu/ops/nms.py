@@ -33,14 +33,41 @@ def nms(
     emitted in descending score order (torchvision order). Suppression uses
     IoU strictly greater than the threshold, matching torchvision.
 
-    Implementation: EXACT greedy selection via the parallel fixpoint
+    Implementation: top_k-length sequential argmax+suppress lax.scan. An
+    exact parallel fixpoint (nms_fixpoint) was built as the presumed-faster
+    replacement and MEASURED SLOWER on TPU v5e (batch-32 postprocess:
+    7.6 vs 9.2 ms at 576 boxes, 11.1 vs 23.5 ms at 2304 — the per-iteration
+    [N, N] masked reduction outgrows 200 cheap argmax steps), so the scan
+    stays the default; see tools/tpu_nms_ab.py.
+    """
+    iou, _ = box_ops.pairwise_iou(boxes, boxes)  # [N, N]
+
+    def step(live_scores, _):
+        j = jnp.argmax(live_scores)
+        best = live_scores[j]
+        valid = best > _NEG_INF
+        suppress = (iou[j] > iou_threshold) | (jnp.arange(boxes.shape[0]) == j)
+        live_scores = jnp.where(valid & suppress, _NEG_INF, live_scores)
+        return live_scores, (jnp.where(valid, j, -1).astype(jnp.int32), valid)
+
+    _, (keep_idx, keep_valid) = jax.lax.scan(
+        step, scores.astype(jnp.float32), None, length=max_outputs
+    )
+    return keep_idx, keep_valid
+
+
+def nms_fixpoint(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    max_outputs: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """EXACT greedy NMS via the parallel fixpoint
       keep_i <- valid_i and no higher-scored kept j suppresses i
-    iterated to convergence (suppression-chain depth, typically a handful of
-    [N, N] VPU passes) — instead of the round-1 top_k-length sequential
-    lax.scan (200 dependent argmax steps; VERDICT r1 weak #10). Starting
-    from keep=valid, the fixpoint of this dampened iteration is exactly the
-    greedy solution: row 0 is correct after one pass, and inductively each
-    later row stabilizes once its predecessors have.
+    iterated to convergence (suppression-chain depth of [N, N] VPU passes).
+    Same results as nms() (tested); slower than the scan on TPU v5e at
+    detection sizes (see nms() docstring), kept for cores/backends where
+    sequential scans dominate.
     """
     N = boxes.shape[0]
     iou, _ = box_ops.pairwise_iou(boxes, boxes)  # [N, N]

@@ -83,3 +83,22 @@ def test_postprocess_confidence_filter():
         iou_threshold=0.6, top_k=4,
     )
     assert np.asarray(out["valid"]).sum() == 0
+
+
+def test_fixpoint_equals_scan_nms():
+    """nms_fixpoint must produce exactly the scan nms() results (same greedy
+    semantics; it exists as a measured-slower-on-TPU alternative)."""
+    import numpy as np
+
+    from owlvit_tpu.ops.nms import nms, nms_fixpoint
+
+    rng = np.random.default_rng(0)
+    for trial in range(10):
+        n = int(rng.integers(5, 60))
+        b = np.sort(rng.random((n, 2, 2)), axis=1).reshape(n, 4) * 100
+        s = np.round(rng.random(n), 1)  # ties
+        s[rng.random(n) < 0.2] = -np.inf
+        ia, va = nms(jnp.asarray(b), jnp.asarray(s), 0.5, 16)
+        ib, vb = nms_fixpoint(jnp.asarray(b), jnp.asarray(s), 0.5, 16)
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))

@@ -61,7 +61,7 @@ for P in (576, 2304):  # b32 / b16 patch counts
         jnp.float32,
     )
     ps = jnp.asarray(rng.random((32, P, 80)).astype(np.float32) * 0.6)
-    for name, fn in (("scan_r1", nms_scan), ("fixpoint_r2", nms_new.nms)):
+    for name, fn in (("scan_r1", nms_scan), ("fixpoint_r2", nms_new.nms_fixpoint)):
         f = jax.jit(lambda b, s, fn=fn: postprocess_with(fn, b, s))
         o = f(pb, ps)
         jax.block_until_ready(o)
