@@ -31,7 +31,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_ROWS = 256
+import os as _os
+
+BLOCK_ROWS = int(_os.environ.get("OWLVIT_LN_BLOCK_ROWS", "256"))
 
 INTERPRET = False
 
