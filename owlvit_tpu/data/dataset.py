@@ -248,4 +248,5 @@ def batch_iterator(
         }
         batch["image_valid"] = valid
         batch["paths"] = [s["path"] for s in samples]
+        batch["indices"] = np.asarray(idxs, np.int64)  # for activation caching
         yield batch

@@ -214,6 +214,53 @@ def forward_train(
     )
 
 
+def embed_prefix(
+    params: dict, cfg: OwlViTConfig, pixel_values: jnp.ndarray
+) -> jnp.ndarray:
+    """Frozen-backbone prefix activations [B, S_pad, D].
+
+    A pure function of (frozen params, pixels) when cfg.trainable_last_k is
+    set — the trainer caches it across epochs (training.cache_backbone) so
+    epochs >= 2 skip the frozen 11-layer scan entirely. The reference
+    recomputes its frozen backbone every step (main.py:64-96, the
+    requires_grad=False set of models.py:173-184 still runs forward).
+    """
+    if cfg.trainable_last_k is None:
+        raise ValueError(
+            "embed_prefix requires trainable_last_k (a frozen prefix); "
+            "with full fine-tuning there is nothing constant to cache"
+        )
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    return vit.forward_prefix(
+        params["vision"], cfg.vision, pixel_values,
+        dtype=dtype, attention_impl=_attn_impl(cfg),
+        trainable_last_k=cfg.trainable_last_k,
+        quant_backbone=cfg.quant_backbone,
+    )
+
+
+def forward_train_from_prefix(
+    params: dict, cfg: OwlViTConfig, acts: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """forward_train continued from cached embed_prefix activations.
+
+    Bit-identical to forward_train on the same inputs: the tail consumes the
+    exact tensor the in-graph split hands over (vit.forward is itself
+    forward_prefix + forward_tail).
+    """
+    last_hidden = vit.forward_tail(
+        params["vision"], cfg.vision, acts,
+        attention_impl=_attn_impl(cfg), remat=cfg.remat,
+        trainable_last_k=cfg.trainable_last_k,
+    )
+    x = layer_norm(params["vision"]["post_ln"], last_hidden, cfg.vision.layer_norm_eps)
+    cls, patches = x[:, :1, :], x[:, 1:, :]
+    feats = layer_norm(params["merged_ln"], patches * cls, cfg.vision.layer_norm_eps)
+    return box_predictor(params, cfg, feats), class_predictor_querybank(
+        params, cfg, feats
+    )
+
+
 def forward_zero_shot(
     params: dict,
     cfg: OwlViTConfig,

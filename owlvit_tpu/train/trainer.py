@@ -187,6 +187,103 @@ class Trainer:
         self.train_step = jax.jit(train_step, donate_argnums=(0,))
         self.eval_step = jax.jit(eval_step)
 
+        # --- frozen-backbone activation cache --------------------------------
+        self.act_cache = None
+        if t.cache_backbone:
+            if cfg.model.trainable_last_k is None:
+                raise ValueError(
+                    "training.cache_backbone requires model.trainable_last_k "
+                    "(full fine-tuning has no frozen prefix to cache)"
+                )
+            self._setup_act_cache()
+
+    def _setup_act_cache(self):
+        from owlvit_tpu.data.act_cache import ActivationCache, fingerprint
+
+        cfg, mcfg = self.cfg, self.model_cfg
+        n_classes = self.n_classes
+        tx = self.tx
+        scales = (
+            jnp.asarray(self.train_ds.class_scales(self.n_classes))
+            if cfg.training.use_class_weight
+            else None
+        )
+
+        def prefix_step(trainable, frozen, images):
+            params = combine_params(trainable, frozen)
+            return owlvit.embed_prefix(params, mcfg, normalize_image(images))
+
+        def tail_step(state: TrainState, acts, labels, boxes, gt_mask):
+            def loss_fn(trainable):
+                params = combine_params(trainable, state.frozen)
+                pb, sims = owlvit.forward_train_from_prefix(params, mcfg, acts)
+                terms = loss_ops.push_pull_loss(
+                    sims, pb, labels, boxes, gt_mask, n_classes, scales,
+                )
+                return loss_ops.total_loss(terms), terms
+
+            (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.trainable
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+            trainable = optax.apply_updates(state.trainable, updates)
+            return (
+                TrainState(trainable, state.frozen, opt_state, state.step + 1),
+                terms,
+            )
+
+        self.prefix_step = jax.jit(prefix_step)
+        self.tail_step = jax.jit(tail_step, donate_argnums=(0,))
+
+        m = cfg.model
+        if m.params_npz:
+            st = os.stat(m.params_npz)
+            src = f"npz:{m.params_npz}:{st.st_size}:{int(st.st_mtime)}"
+        else:
+            src = f"random:{cfg.training.seed}"
+        fp = fingerprint(
+            {
+                "params": src,
+                "model": m.name,
+                "dtype": m.dtype,
+                "trainable_last_k": m.trainable_last_k,
+                "quant_backbone": m.quant_backbone,
+                "attention_impl": owlvit._attn_impl(mcfg),
+                "dataset": [k for k, _ in self.train_ds.items],
+            }
+        )
+        base = f"{cfg.data.train_annotations}.backbone_{m.name}"
+        self.act_cache = ActivationCache(base, len(self.train_ds), fp)
+
+    def _train_one_batch(self, batch) -> dict:
+        """One optimizer step; routes through the activation cache if on."""
+        if self.act_cache is None:
+            batch.pop("indices", None)
+            self.state, terms = self.train_step(self.state, batch)
+            return terms
+        idxs = np.asarray(batch.pop("indices"))
+        if "acts" in batch:  # cache hit resolved on the host side
+            acts = batch["acts"]
+        else:
+            acts = self.prefix_step(
+                self.state.trainable, self.state.frozen, batch["image"]
+            )
+            self.act_cache.write(idxs, jax.device_get(acts))
+        self.state, terms = self.tail_step(
+            self.state, acts, batch["labels"], batch["boxes"], batch["gt_mask"]
+        )
+        return terms
+
+    def _with_cached_acts(self, it):
+        """Host-side: swap `image` for cached activations when available
+        (before prefetch, so the device transfer ships the smaller side —
+        acts replace pixels, never both)."""
+        for batch in it:
+            if self.act_cache.has(batch["indices"]):
+                batch["acts"] = self.act_cache.read(batch["indices"])
+                del batch["image"]
+            yield batch
+
     def _build_query_bank(self, params) -> jnp.ndarray:
         """CLIP-text-encode 3 prompts per class (reference models.py:155-171)."""
         m = self.cfg.model
@@ -246,6 +343,8 @@ class Trainer:
                 self.train_ds, t.batch_size,
                 shuffle=True, seed=t.seed + epoch, pad_final=False,
             )
+            if self.act_cache is not None:
+                it = self._with_cached_acts(it)
             for step_i, batch in enumerate(prefetch_to_device(it)):
                 batch.pop("paths", None)
                 batch.pop("image_valid", None)
@@ -255,7 +354,7 @@ class Trainer:
                     # skip step 0 (compile); trace the next profile_steps
                     jax.profiler.start_trace(t.profile_dir)
                     profiling = True
-                self.state, terms = self.train_step(self.state, batch)
+                terms = self._train_one_batch(batch)
                 acc.update({k: float(v) for k, v in terms.items()})
                 if profiling and step_i >= t.profile_steps:
                     jax.block_until_ready(self.state.step)

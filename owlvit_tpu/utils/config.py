@@ -47,6 +47,11 @@ class TrainingConfig:
     top_k: int = 200
     profile_dir: Optional[str] = None  # jax.profiler trace of train steps
     profile_steps: int = 5
+    # Cache frozen-backbone activations to disk after first compute: the
+    # frozen prefix is ~2/3 of the B/16 train step and (with no augmentation)
+    # constant per image, so epochs >= 2 skip it entirely. Requires
+    # model.trainable_last_k. Disk cost ~ S_pad*D*2 bytes/image (B/16: ~3.7MB).
+    cache_backbone: bool = False
 
 
 @dataclasses.dataclass

@@ -50,14 +50,97 @@ try:
         _b.get_config = _patched  # in case of direct import
 
     t = time.time()
-    step, state, data = bench._build(model, batch, dtype, trainable_last_k=k)
-    sps, loss = bench._measure(step, state, data, steps)
-    rec.update(
-        imgs_per_sec=round(sps * batch, 2),
-        loss=float(loss),
-        compile_secs=round(time.time() - t, 1),
-        ok=True,
-    )
+    if args.get("cached") == "1":
+        # Frozen-backbone activation-cache steady state: epochs >= 2 run
+        # prefix-free (trainer._train_one_batch). Measures the tail step
+        # twice — acts resident on device, and with the per-step H2D
+        # transfer a real cached epoch pays (acts stream from the memmap).
+        import optax
+
+        from owlvit_tpu.models import get_config, owlvit
+        from owlvit_tpu.ops import losses as loss_ops
+        from owlvit_tpu.ops.preprocess import normalize_image
+        from owlvit_tpu.train.state import TrainState, combine_params, partition_params
+        import numpy as np
+
+        cfg = get_config(model, dtype=dtype, trainable_last_k=k or 1)
+        n_classes = 80
+        params = owlvit.init(jax.random.PRNGKey(0), cfg, num_queries=3 * n_classes)
+        trainable, frozen = partition_params(params, k or 1)
+        tx = optax.adamw(3e-6, weight_decay=0.1)
+        state = TrainState(trainable, frozen, tx.init(trainable), jnp.int32(0))
+        G, S = 16, cfg.vision.image_size
+        rng = np.random.default_rng(0)
+        data = {
+            "image": jnp.asarray(rng.integers(0, 255, (batch, S, S, 3), dtype=np.uint8)),
+            "boxes": jnp.asarray(np.tile([[0.2, 0.2, 0.6, 0.7]], (batch, G, 1)).astype(np.float32)),
+            "labels": jnp.asarray(rng.integers(0, n_classes, (batch, G), dtype=np.int32)),
+            "gt_mask": jnp.asarray(np.tile(np.arange(G) < 8, (batch, 1))),
+        }
+
+        def prefix_step(trainable, frozen, images):
+            p = combine_params(trainable, frozen)
+            return owlvit.embed_prefix(p, cfg, normalize_image(images))
+
+        def tail_step(state, acts, labels, boxes, gt_mask):
+            def loss_fn(trainable):
+                p = combine_params(trainable, state.frozen)
+                pb, sims = owlvit.forward_train_from_prefix(p, cfg, acts)
+                terms = loss_ops.push_pull_loss(
+                    sims, pb, labels, boxes, gt_mask, n_classes
+                )
+                return loss_ops.total_loss(terms), terms
+
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.trainable
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+            return (
+                TrainState(
+                    optax.apply_updates(state.trainable, updates),
+                    state.frozen, opt_state, state.step + 1,
+                ),
+                loss,
+            )
+
+        pstep = jax.jit(prefix_step)
+        tstep = jax.jit(tail_step, donate_argnums=(0,))
+        acts = pstep(state.trainable, state.frozen, data["image"])
+        jax.block_until_ready(acts)
+        host_acts = jax.device_get(acts)
+        rec["acts_mb"] = round(host_acts.nbytes / 1e6, 1)
+        la, bo, gm = data["labels"], data["boxes"], data["gt_mask"]
+
+        state, loss = tstep(state, acts, la, bo, gm)  # compile
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, loss = tstep(state, acts, la, bo, gm)
+        jax.block_until_ready(loss)
+        dt = time.perf_counter() - t0
+        rec["tail_imgs_per_sec"] = round(steps * batch / dt, 2)
+
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            a = jax.device_put(host_acts)
+            state, loss = tstep(state, a, la, bo, gm)
+        jax.block_until_ready(loss)
+        dt = time.perf_counter() - t0
+        rec.update(
+            imgs_per_sec=round(steps * batch / dt, 2),
+            loss=float(loss),
+            compile_secs=round(time.time() - t, 1),
+            ok=True,
+        )
+    else:
+        step, state, data = bench._build(model, batch, dtype, trainable_last_k=k)
+        sps, loss = bench._measure(step, state, data, steps)
+        rec.update(
+            imgs_per_sec=round(sps * batch, 2),
+            loss=float(loss),
+            compile_secs=round(time.time() - t, 1),
+            ok=True,
+        )
 except Exception as e:  # noqa: BLE001
     rec.update(ok=False, err=repr(e)[:400])
 print(rec, flush=True)
