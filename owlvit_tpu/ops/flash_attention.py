@@ -303,6 +303,39 @@ def _group_heads(num_heads: int, head_dim: int) -> int:
     return max(1, min(num_heads, GROUP_LANES // head_dim))
 
 
+def _batched_heads() -> bool:
+    """OWLVIT_BATCHED_HEADS=1: compute all hg heads of a program in ONE
+    batched dot_general ([hg, BQ, hd] x [hg, S, hd]) instead of a python
+    loop of per-head matmuls — halves per-program op count at the price of
+    two in-VMEM relayouts (head-split transposes). A/B knob (NOTES r2 #1,
+    the last untried kernel shape)."""
+    return _os.environ.get("OWLVIT_BATCHED_HEADS", "0") == "1"
+
+
+def _pk_fwd_kernel_bh(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+                      *, scale, hg, hd):
+    BQ = q_ref.shape[1]
+    S = k_ref.shape[1]
+    q = q_ref[0].reshape(BQ, hg, hd).transpose(1, 0, 2)  # [hg, BQ, hd]
+    k = k_ref[0].reshape(S, hg, hd).transpose(1, 0, 2)   # [hg, S, hd]
+    v = v_ref[0].reshape(S, hg, hd).transpose(1, 0, 2)
+    q = (q * jnp.asarray(scale, q.dtype)).astype(q.dtype)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [hg, BQ, S]
+    s = s + bias_ref[0][None]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) / l  # [hg, BQ, hd]
+    o_ref[0] = o.transpose(1, 0, 2).reshape(BQ, hg * hd).astype(o_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(l))[..., 0].T  # [BQ, hg]
+
+
 def _pk_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
                    *, scale, hg, hd, fast_softmax):
     q = q_ref[0]  # [BQ, hg*hd]
@@ -458,10 +491,15 @@ def _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False):
         bias = _key_bias_row(S_pad, s_real)
         bspec = pl.BlockSpec((1, S_pad), lambda b, g, i: (0, 0),
                              memory_space=pltpu.VMEM)
-        kern = functools.partial(
-            _pk_fwd_kernel, scale=scale, hg=hg, hd=hd,
-            fast_softmax=fast_softmax,
-        )
+        if _batched_heads() and not fast_softmax and hg > 1:
+            kern = functools.partial(
+                _pk_fwd_kernel_bh, scale=scale, hg=hg, hd=hd
+            )
+        else:
+            kern = functools.partial(
+                _pk_fwd_kernel, scale=scale, hg=hg, hd=hd,
+                fast_softmax=fast_softmax,
+            )
         return pl.pallas_call(
             kern,
             grid=(B, G, S_pad // BLOCK_Q),

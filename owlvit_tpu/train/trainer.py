@@ -213,7 +213,7 @@ class Trainer:
             params = combine_params(trainable, frozen)
             return owlvit.embed_prefix(params, mcfg, normalize_image(images))
 
-        def tail_step(state: TrainState, acts, labels, boxes, gt_mask):
+        def tail_loss_update(state, acts, labels, boxes, gt_mask):
             def loss_fn(trainable):
                 params = combine_params(trainable, state.frozen)
                 pb, sims = owlvit.forward_train_from_prefix(params, mcfg, acts)
@@ -232,36 +232,92 @@ class Trainer:
                 terms,
             )
 
-        self.prefix_step = jax.jit(prefix_step)
-        self.tail_step = jax.jit(tail_step, donate_argnums=(0,))
+        def tail_step_gather(state, acts_all, idxs, labels, boxes, gt_mask):
+            # device store: one HBM-local gather replaces any host transfer
+            return tail_loss_update(state, acts_all[idxs], labels, boxes, gt_mask)
 
-        m = cfg.model
-        if m.params_npz:
-            st = os.stat(m.params_npz)
-            src = f"npz:{m.params_npz}:{st.st_size}:{int(st.st_mtime)}"
-        else:
-            src = f"random:{cfg.training.seed}"
-        fp = fingerprint(
-            {
-                "params": src,
-                "model": m.name,
-                "dtype": m.dtype,
-                "trainable_last_k": m.trainable_last_k,
-                "quant_backbone": m.quant_backbone,
-                "attention_impl": owlvit._attn_impl(mcfg),
-                "dataset": [k for k, _ in self.train_ds.items],
-            }
-        )
-        base = f"{cfg.data.train_annotations}.backbone_{m.name}"
-        self.act_cache = ActivationCache(base, len(self.train_ds), fp)
+        def scatter_acts(acts_all, idxs, acts):
+            return acts_all.at[idxs].set(acts)
+
+        self.prefix_step = jax.jit(prefix_step)
+        self.tail_step = jax.jit(tail_loss_update, donate_argnums=(0,))
+        self.tail_step_gather = jax.jit(tail_step_gather, donate_argnums=(0,))
+        self.scatter_acts = jax.jit(scatter_acts, donate_argnums=(0,))
+
+        # --- store backend ---------------------------------------------------
+        t, m = cfg.training, cfg.model
+        store = t.cache_backbone_store
+        if store not in ("auto", "device", "disk"):
+            raise ValueError(
+                f"training.cache_backbone_store must be auto|device|disk, got {store!r}"
+            )
+        if store == "auto":
+            # flash pads tokens to the query-block multiple (vit._pad_for_flash)
+            from owlvit_tpu.ops.flash_attention import BLOCK_Q
+
+            S = mcfg.vision.num_patches + 1
+            if owlvit._attn_impl(mcfg) == "flash":
+                S = ((S + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
+            elt = 2 if mcfg.dtype == "bfloat16" else 4
+            total = len(self.train_ds) * S * mcfg.vision.hidden_size * elt
+            # 10 GB leaves ~5 GB of v5e HBM for params/opt/activations; the
+            # reference recipe (2500 imgs, B/16 bf16: 9.34 GB) fits on-device.
+            store = "device" if total <= 10e9 else "disk"
+        self.act_store = store
+        self._acts_dev = None  # [N, S_pad, D] device array (device store)
+        self._acts_filled = np.zeros((len(self.train_ds),), bool)
+
+        self.act_cache = None
+        if store == "disk":
+            if m.params_npz:
+                st = os.stat(m.params_npz)
+                src = f"npz:{m.params_npz}:{st.st_size}:{int(st.st_mtime)}"
+            else:
+                src = f"random:{t.seed}"
+            fp = fingerprint(
+                {
+                    "params": src,
+                    "model": m.name,
+                    "dtype": m.dtype,
+                    "trainable_last_k": m.trainable_last_k,
+                    "quant_backbone": m.quant_backbone,
+                    "attention_impl": owlvit._attn_impl(mcfg),
+                    "dataset": [k for k, _ in self.train_ds.items],
+                }
+            )
+            base = f"{cfg.data.train_annotations}.backbone_{m.name}"
+            self.act_cache = ActivationCache(base, len(self.train_ds), fp)
 
     def _train_one_batch(self, batch) -> dict:
         """One optimizer step; routes through the activation cache if on."""
-        if self.act_cache is None:
+        if not self.cfg.training.cache_backbone:
             batch.pop("indices", None)
             self.state, terms = self.train_step(self.state, batch)
             return terms
         idxs = np.asarray(batch.pop("indices"))
+        args = (batch["labels"], batch["boxes"], batch["gt_mask"])
+
+        if self.act_store == "device":
+            if self._acts_filled[idxs].all():
+                self.state, terms = self.tail_step_gather(
+                    self.state, self._acts_dev, jnp.asarray(idxs), *args
+                )
+                return terms
+            acts = self.prefix_step(
+                self.state.trainable, self.state.frozen, batch["image"]
+            )
+            if self._acts_dev is None:
+                self._acts_dev = jnp.zeros(
+                    (len(self.train_ds),) + acts.shape[1:], acts.dtype
+                )
+            self._acts_dev = self.scatter_acts(
+                self._acts_dev, jnp.asarray(idxs), acts
+            )
+            self._acts_filled[idxs] = True
+            self.state, terms = self.tail_step(self.state, acts, *args)
+            return terms
+
+        # disk store
         if "acts" in batch:  # cache hit resolved on the host side
             acts = batch["acts"]
         else:
@@ -269,15 +325,13 @@ class Trainer:
                 self.state.trainable, self.state.frozen, batch["image"]
             )
             self.act_cache.write(idxs, jax.device_get(acts))
-        self.state, terms = self.tail_step(
-            self.state, acts, batch["labels"], batch["boxes"], batch["gt_mask"]
-        )
+        self.state, terms = self.tail_step(self.state, acts, *args)
         return terms
 
     def _with_cached_acts(self, it):
-        """Host-side: swap `image` for cached activations when available
-        (before prefetch, so the device transfer ships the smaller side —
-        acts replace pixels, never both)."""
+        """Host-side (disk store): swap `image` for cached activations when
+        available (before prefetch, so the device transfer ships acts instead
+        of pixels, never both)."""
         for batch in it:
             if self.act_cache.has(batch["indices"]):
                 batch["acts"] = self.act_cache.read(batch["indices"])
@@ -343,7 +397,7 @@ class Trainer:
                 self.train_ds, t.batch_size,
                 shuffle=True, seed=t.seed + epoch, pad_final=False,
             )
-            if self.act_cache is not None:
+            if self.act_cache is not None:  # disk store host-side swap
                 it = self._with_cached_acts(it)
             for step_i, batch in enumerate(prefetch_to_device(it)):
                 batch.pop("paths", None)

@@ -84,7 +84,7 @@ def test_embed_prefix_rejects_full_finetune():
         owlvit.embed_prefix(params, cfg, img)
 
 
-def _run(root: str, cache_backbone: bool) -> tuple:
+def _run(root: str, cache_backbone: bool, store: str = "auto") -> tuple:
     from owlvit_tpu.train import Trainer
 
     cfg = Config(
@@ -102,6 +102,7 @@ def _run(root: str, cache_backbone: bool) -> tuple:
             log_file=None,
             top_k=16,
             cache_backbone=cache_backbone,
+            cache_backbone_store=store,
         ),
         model=ModelConfig(name="tiny", trainable_last_k=1),
     )
@@ -110,10 +111,17 @@ def _run(root: str, cache_backbone: bool) -> tuple:
     return trainer, metrics
 
 
-def test_trainer_cached_run_matches_uncached(tmp_path):
+@pytest.mark.parametrize("store", ["disk", "device"])
+def test_trainer_cached_run_matches_uncached(tmp_path, store):
     t_plain, m_plain = _run(str(tmp_path / "plain"), cache_backbone=False)
-    t_cached, m_cached = _run(str(tmp_path / "cached"), cache_backbone=True)
-    assert t_cached.act_cache is not None and t_cached.act_cache.complete
+    t_cached, m_cached = _run(
+        str(tmp_path / "cached"), cache_backbone=True, store=store
+    )
+    if store == "disk":
+        assert t_cached.act_cache is not None and t_cached.act_cache.complete
+    else:
+        assert t_cached.act_cache is None
+        assert t_cached._acts_filled.all() and t_cached._acts_dev is not None
     # same data (same seeds), same step count, near-identical learned params
     assert int(t_plain.state.step) == int(t_cached.state.step) == 4
     qa = np.asarray(t_plain.state.trainable["queries"], np.float32)
@@ -121,9 +129,15 @@ def test_trainer_cached_run_matches_uncached(tmp_path):
     np.testing.assert_allclose(qa, qb, rtol=2e-5, atol=2e-6)
     assert np.isclose(m_plain["map"], m_cached["map"], atol=1e-6)
 
-    # epoch 3 from a fresh Trainer object reuses the on-disk cache rows
-    t2, _ = _run(str(tmp_path / "cached"), cache_backbone=True)
-    assert t2.act_cache.complete
+    if store == "disk":
+        # epoch 3 from a fresh Trainer object reuses the on-disk cache rows
+        t2, _ = _run(str(tmp_path / "cached"), cache_backbone=True, store=store)
+        assert t2.act_cache.complete
+
+
+def test_auto_store_picks_device_for_small_sets(tmp_path):
+    t, _ = _run(str(tmp_path / "auto"), cache_backbone=True, store="auto")
+    assert t.act_store == "device"  # tiny model, 8 images: far under 8 GB
 
 
 def test_trainer_cache_requires_frozen_prefix(tmp_path):

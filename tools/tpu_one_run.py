@@ -120,16 +120,31 @@ try:
         dt = time.perf_counter() - t0
         rec["tail_imgs_per_sec"] = round(steps * batch / dt, 2)
 
+        # Device-store steady state (trainer.tail_step_gather): acts for a
+        # pool of images live in HBM; each step gathers its batch rows.
+        # Pool sized to ~2 GB here (gather cost does not depend on pool size)
+        # — the full reference recipe (2500 imgs, ~9.3 GB) fits v5e HBM.
+        pool = max(batch, int(2e9 // host_acts[0].nbytes))
+        acts_all = jnp.zeros((pool,) + acts.shape[1:], acts.dtype)
+        acts_all = acts_all.at[:batch].set(acts)
+        idxs = jnp.asarray(rng.integers(0, pool, (batch,), dtype=np.int64))
+
+        def gather_step(state, acts_all, idxs, labels, boxes, gt_mask):
+            return tail_step(state, acts_all[idxs], labels, boxes, gt_mask)
+
+        gstep = jax.jit(gather_step, donate_argnums=(0,))
+        state, loss = gstep(state, acts_all, idxs, la, bo, gm)  # compile
+        jax.block_until_ready(loss)
         t0 = time.perf_counter()
         for _ in range(steps):
-            a = jax.device_put(host_acts)
-            state, loss = tstep(state, a, la, bo, gm)
+            state, loss = gstep(state, acts_all, idxs, la, bo, gm)
         jax.block_until_ready(loss)
         dt = time.perf_counter() - t0
         rec.update(
             imgs_per_sec=round(steps * batch / dt, 2),
             loss=float(loss),
             compile_secs=round(time.time() - t, 1),
+            pool_imgs=pool,
             ok=True,
         )
     else:
