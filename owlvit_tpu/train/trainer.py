@@ -338,6 +338,15 @@ class Trainer:
                 del batch["image"]
             yield batch
 
+    def _drop_images_when_cached(self, it):
+        """Host-side (device store): once a batch's activations are all in
+        HBM its pixels are dead weight — don't ship them over the (slow,
+        ~1.6 GB/s here) host->device link at all."""
+        for batch in it:
+            if self._acts_filled[batch["indices"]].all():
+                del batch["image"]
+            yield batch
+
     def _build_query_bank(self, params) -> jnp.ndarray:
         """CLIP-text-encode 3 prompts per class (reference models.py:155-171)."""
         m = self.cfg.model
@@ -399,6 +408,8 @@ class Trainer:
             )
             if self.act_cache is not None:  # disk store host-side swap
                 it = self._with_cached_acts(it)
+            elif self.cfg.training.cache_backbone and self.act_store == "device":
+                it = self._drop_images_when_cached(it)
             for step_i, batch in enumerate(prefetch_to_device(it)):
                 batch.pop("paths", None)
                 batch.pop("image_valid", None)

@@ -26,6 +26,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ["OWLVIT_PACKED_FLASH"] = args.get("packed", "1")  # match production default
 os.environ["OWLVIT_PACKED_BWD"] = args.get("bwd", "both")
 os.environ["OWLVIT_FUSED_LN"] = args.get("fused", "0")
+os.environ["OWLVIT_BATCHED_HEADS"] = args.get("bh", "0")
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
