@@ -127,3 +127,86 @@ def shard_state(state, mesh: Mesh):
         opt_state=jax.tree.map(put, state.opt_state, o_specs),
         step=put(state.step, _REPL),
     )
+
+
+# --------------------------------------------------------------------------
+# Sharded activation pool (multi-chip training.cache_backbone).
+#
+# On one chip the cached frozen-backbone activations live in a single HBM
+# array (trainer device store). Replicating that pool across a data-parallel
+# mesh would multiply its footprint by dp; instead the pool rows shard over
+# the "data" axis and each rank gathers ONLY its own rows via shard_map —
+# zero collectives, provided the sampler aligns batches to the row sharding
+# (shard_aligned_order below: global batch = dp sub-batches, sub-batch r
+# drawn from shard r's contiguous row range).
+# --------------------------------------------------------------------------
+
+
+def shard_act_pool(acts_all, mesh: Mesh):
+    """Place a [N, S, D] activation pool with rows sharded on "data"."""
+    return jax.device_put(
+        acts_all, NamedSharding(mesh, P("data", None, None))
+    )
+
+
+def local_gather(acts_all, idxs, mesh: Mesh, axis: str = "data"):
+    """Gather pool rows with per-rank-local indexing (no collectives).
+
+    acts_all: [N, S, D], rows sharded over `axis` (N % dp == 0).
+    idxs:     [B] GLOBAL row indices, sharded over `axis` (B % dp == 0),
+              where idxs shard r only addresses rows of acts shard r —
+              what shard_aligned_order produces. Returns [B, S, D] sharded
+              over `axis`.
+    """
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    N = acts_all.shape[0]
+    dp = mesh.shape[axis]
+    assert N % dp == 0 and idxs.shape[0] % dp == 0
+
+    def body(a_loc, i_loc):
+        base = jax.lax.axis_index(axis) * (N // dp)
+        return a_loc[i_loc - base]
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis)),
+        out_specs=P(axis, None, None),
+    )(acts_all, idxs)
+
+
+def shard_aligned_order(n: int, dp: int, *, seed: int = 0):
+    """Per-epoch per-shard sample orders compatible with local_gather.
+
+    Rows [0, n) are owned contiguously: shard r owns [r*n//dp, (r+1)*n//dp).
+    Returns [dp, n//dp]: row r is a shuffle of shard r's row range.
+    shard_aligned_batches slices these into aligned global batches.
+    """
+    import numpy as np
+
+    per = n // dp
+    rng = np.random.default_rng(seed)
+    shard_orders = []
+    for r in range(dp):
+        rows = np.arange(r * per, (r + 1) * per)
+        rng.shuffle(rows)
+        shard_orders.append(rows)
+    # interleave: [per, dp] -> batches slice contiguous runs of each shard
+    return np.stack(shard_orders, axis=0)  # [dp, per]; see batch assembly
+
+
+def shard_aligned_batches(n: int, batch_size: int, dp: int, *, seed: int = 0):
+    """Yield global index batches ([batch_size], B % dp == 0) aligned with
+    the pool sharding: positions [r*B/dp, (r+1)*B/dp) address shard r."""
+    import numpy as np
+
+    assert batch_size % dp == 0
+    sub = batch_size // dp
+    orders = shard_aligned_order(n, dp, seed=seed)  # [dp, per]
+    per = orders.shape[1]
+    for start in range(0, per - per % sub, sub):
+        yield np.concatenate([orders[r, start : start + sub] for r in range(dp)])

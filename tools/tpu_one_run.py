@@ -51,7 +51,43 @@ try:
         _b.get_config = _patched  # in case of direct import
 
     t = time.time()
-    if args.get("cached") == "1":
+    if args.get("infer") == "1":
+        # Serving path: uint8 batch -> normalize -> forward -> NMS postprocess
+        # (the eval/infer graph, trainer.eval_step equivalent).
+        import numpy as np
+
+        from owlvit_tpu.models import get_config, owlvit
+        from owlvit_tpu.ops import nms as nms_ops
+        from owlvit_tpu.ops.preprocess import normalize_image
+
+        cfg = get_config(model, dtype=dtype, trainable_last_k=None)
+        n_classes = 80
+        params = owlvit.init(jax.random.PRNGKey(0), cfg, num_queries=3 * n_classes)
+        S = cfg.vision.image_size
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.integers(0, 255, (batch, S, S, 3), dtype=np.uint8))
+
+        def infer_step(params, images):
+            boxes, sims = owlvit.forward_train(params, cfg, normalize_image(images))
+            return nms_ops.postprocess(
+                boxes, sims, confidence_threshold=0.01, iou_threshold=0.6,
+                top_k=200,
+            )
+
+        istep = jax.jit(infer_step)
+        out = istep(params, images)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = istep(params, images)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        rec.update(
+            imgs_per_sec=round(steps * batch / dt, 2),
+            compile_secs=round(time.time() - t, 1),
+            ok=True,
+        )
+    elif args.get("cached") == "1":
         # Frozen-backbone activation-cache steady state: epochs >= 2 run
         # prefix-free (trainer._train_one_batch). Measures the tail step
         # twice — acts resident on device, and with the per-step H2D
