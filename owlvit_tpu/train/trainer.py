@@ -123,7 +123,7 @@ class Trainer:
         # --- optimizer over the trainable partition only --------------------
         trainable, frozen = partition_params(params, cfg.model.trainable_last_k)
         self.tx = optax.adamw(
-            learning_rate=cfg.training.learning_rate,
+            learning_rate=self._lr_schedule(),
             weight_decay=cfg.training.weight_decay,
         )
         self.state = TrainState(
@@ -346,6 +346,35 @@ class Trainer:
             if self._acts_filled[batch["indices"]].all():
                 del batch["image"]
             yield batch
+
+    def _lr_schedule(self):
+        """Learning-rate schedule from config. "constant" (the reference's
+        fixed AdamW lr, main.py:56-60) or "cosine" decay to lr_final, both
+        with optional linear warmup. Returns a float or an optax schedule."""
+        t = self.cfg.training
+        if t.lr_schedule not in ("constant", "cosine"):
+            raise ValueError(
+                f"training.lr_schedule must be constant|cosine, got {t.lr_schedule!r}"
+            )
+        if t.lr_schedule == "constant" and not t.warmup_steps:
+            return t.learning_rate
+        steps_per_epoch = max(1, len(self.train_ds) // t.batch_size)
+        total = max(t.n_epochs * steps_per_epoch, t.warmup_steps + 1)
+        if t.lr_schedule == "constant":
+            return optax.join_schedules(
+                [
+                    optax.linear_schedule(0.0, t.learning_rate, t.warmup_steps),
+                    optax.constant_schedule(t.learning_rate),
+                ],
+                [t.warmup_steps],
+            )
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=t.learning_rate,
+            warmup_steps=t.warmup_steps,
+            decay_steps=total,
+            end_value=t.lr_final,
+        )
 
     def _build_query_bank(self, params) -> jnp.ndarray:
         """CLIP-text-encode 3 prompts per class (reference models.py:155-171)."""

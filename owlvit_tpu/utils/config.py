@@ -34,6 +34,12 @@ class DataConfig:
 class TrainingConfig:
     n_epochs: int = 20
     learning_rate: float = 3e-6
+    # "constant" matches the reference (fixed AdamW lr, main.py:56-60);
+    # "cosine" decays to lr_final over the run after warmup_steps of linear
+    # warmup (warmup also applies to "constant").
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    lr_final: float = 0.0
     weight_decay: float = 0.1
     batch_size: int = 1
     use_class_weight: bool = True
