@@ -15,17 +15,25 @@ from typing import Iterator
 import jax
 
 
-def prefetch_to_device(iterator: Iterator[dict], size: int = 2) -> Iterator[dict]:
-    """Wrap a numpy-batch iterator; yields batches already on device."""
+def prefetch_to_device(
+    iterator: Iterator[dict], size: int = 2, put=None
+) -> Iterator[dict]:
+    """Wrap a numpy-batch iterator; yields batches already on device.
+
+    put: optional transfer fn (e.g. a NamedSharding device_put for mesh
+    training) applied to every array value; defaults to jax.device_put.
+    """
     q: queue.Queue = queue.Queue(maxsize=size)
     _SENTINEL = object()
     _ERR = object()
+    if put is None:
+        put = jax.device_put
 
     def producer():
         try:
             for batch in iterator:
                 arrays = {
-                    k: jax.device_put(v)
+                    k: put(v)
                     for k, v in batch.items()
                     if k != "paths"
                 }

@@ -138,6 +138,29 @@ class Trainer:
                 self.state = restored
                 print(f"resumed from step {int(self.state.step)}", flush=True)
 
+        # --- GSPMD mesh (training.mesh_data x training.mesh_model) -----------
+        self.mesh = None
+        t_ = cfg.training
+        if t_.mesh_data * t_.mesh_model > 1:
+            from owlvit_tpu.parallel import create_mesh, shard_state
+
+            n_dev = len(jax.devices())
+            if t_.mesh_data * t_.mesh_model > n_dev:
+                raise ValueError(
+                    f"mesh {t_.mesh_data}x{t_.mesh_model} needs "
+                    f"{t_.mesh_data * t_.mesh_model} devices, have {n_dev}"
+                )
+            if t_.batch_size % t_.mesh_data:
+                raise ValueError(
+                    f"training.batch_size={t_.batch_size} must divide by "
+                    f"mesh_data={t_.mesh_data}"
+                )
+            self.mesh = create_mesh(
+                data=t_.mesh_data, model=t_.mesh_model,
+                devices=jax.devices()[: t_.mesh_data * t_.mesh_model],
+            )
+            self.state = shard_state(self.state, self.mesh)
+
         scales = (
             jnp.asarray(self.train_ds.class_scales(self.n_classes))
             if cfg.training.use_class_weight
@@ -251,6 +274,13 @@ class Trainer:
             raise ValueError(
                 f"training.cache_backbone_store must be auto|device|disk, got {store!r}"
             )
+        if self.mesh is not None and store != "disk":
+            # The single-array device store is not yet sharded over the mesh
+            # (needs the shard-aligned sampler + local_gather of
+            # parallel/sharding.py); the disk store shards naturally — the
+            # act batches enter through the same P("data") put as pixels.
+            store = "disk"
+            print("cache_backbone: mesh run -> disk store", flush=True)
         if store == "auto":
             # flash pads tokens to the query-block multiple (vit._pad_for_flash)
             from owlvit_tpu.ops.flash_attention import BLOCK_Q
@@ -347,6 +377,16 @@ class Trainer:
                 del batch["image"]
             yield batch
 
+    def _batch_put(self):
+        """Transfer fn for input batches: plain device_put single-device,
+        batch-axis NamedSharding put on a mesh."""
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sh = NamedSharding(self.mesh, PartitionSpec("data"))
+        return lambda v: jax.device_put(v, sh)
+
     def _lr_schedule(self):
         """Learning-rate schedule from config. "constant" (the reference's
         fixed AdamW lr, main.py:56-60) or "cosine" decay to lr_final, both
@@ -439,7 +479,9 @@ class Trainer:
                 it = self._with_cached_acts(it)
             elif self.cfg.training.cache_backbone and self.act_store == "device":
                 it = self._drop_images_when_cached(it)
-            for step_i, batch in enumerate(prefetch_to_device(it)):
+            for step_i, batch in enumerate(
+                prefetch_to_device(it, put=self._batch_put())
+            ):
                 batch.pop("paths", None)
                 batch.pop("image_valid", None)
                 batch.pop("width", None)
@@ -499,7 +541,7 @@ class Trainer:
             os.makedirs(debug_dir, exist_ok=True)
 
         it = batch_iterator(self.test_ds, t.batch_size, shuffle=False)
-        for bi, batch in enumerate(prefetch_to_device(it)):
+        for bi, batch in enumerate(prefetch_to_device(it, put=self._batch_put())):
             paths = batch.pop("paths", None)
             out = self.eval_step(
                 self.state.trainable, self.state.frozen, batch["image"]

@@ -64,6 +64,12 @@ class TrainingConfig:
     # "disk" memmaps them on the host (persists across runs, any size);
     # "auto" picks device when the whole set fits in ~8 GB of HBM.
     cache_backbone_store: str = "auto"
+    # GSPMD mesh for the train/eval steps: batch shards over mesh_data
+    # (gradient all-reduce rides ICI), tensors over mesh_model
+    # (Megatron-style specs, parallel/sharding.py). 1x1 = single device,
+    # exactly the reference's setup (SURVEY §2.3: it has no parallelism).
+    mesh_data: int = 1
+    mesh_model: int = 1
 
 
 @dataclasses.dataclass

@@ -1,0 +1,96 @@
+"""Trainer-level GSPMD mesh training (training.mesh_data / mesh_model).
+
+The reference has no parallelism at all (SURVEY §2.3); here multi-device
+training is a config knob. These run on the virtual 8-device CPU mesh and
+pin: numerical agreement with the single-device trainer, tensor-parallel
+execution, sharding placement of the state, cache interplay, and the
+validation errors.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from owlvit_tpu.train import Trainer
+from owlvit_tpu.utils.config import Config, DataConfig, ModelConfig, TrainingConfig
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs the virtual CPU mesh"
+)
+
+
+def _cfg(root, **training_kw):
+    return Config(
+        data=DataConfig(
+            synthetic_root=os.path.join(root, "synth"),
+            num_train_images=8,
+            num_test_images=4,
+            max_gt=8,
+            synthetic_classes=3,
+        ),
+        training=TrainingConfig(
+            **{
+                "n_epochs": 2, "learning_rate": 1e-4, "batch_size": 4,
+                "log_file": None, "top_k": 16, **training_kw,
+            }
+        ),
+        model=ModelConfig(name="tiny", trainable_last_k=1),
+    )
+
+
+def _queries(t):
+    return np.asarray(
+        jax.device_get(t.state.trainable["queries"]), np.float32
+    )
+
+
+def test_dp_matches_single_device(tmp_path):
+    t1 = Trainer(_cfg(str(tmp_path / "single")), workdir=str(tmp_path / "single"))
+    m1 = t1.run()
+    t4 = Trainer(
+        _cfg(str(tmp_path / "dp4"), mesh_data=4), workdir=str(tmp_path / "dp4")
+    )
+    m4 = t4.run()
+    assert int(t1.state.step) == int(t4.state.step) == 4
+    np.testing.assert_allclose(_queries(t1), _queries(t4), rtol=1e-4, atol=1e-6)
+    assert np.isclose(m1["map"], m4["map"], atol=1e-6)
+
+
+def test_dp_x_tp_runs_and_shards_params(tmp_path):
+    t = Trainer(
+        _cfg(str(tmp_path), mesh_data=2, mesh_model=2), workdir=str(tmp_path)
+    )
+    metrics = t.run()
+    assert np.isfinite(metrics["map"])
+    # Megatron specs actually applied: qkv kernels sharded on "model"
+    spec = t.state.trainable["vision"]["layers_tail"]["attn"]["q"]["kernel"].sharding.spec
+    assert "model" in spec
+    # frozen stack too
+    spec_f = t.state.frozen["vision"]["layers_head"]["attn"]["q"]["kernel"].sharding.spec
+    assert "model" in spec_f
+
+
+def test_mesh_forces_disk_act_store(tmp_path):
+    t = Trainer(
+        _cfg(str(tmp_path), mesh_data=4, cache_backbone=True),
+        workdir=str(tmp_path),
+    )
+    assert t.act_store == "disk" and t.act_cache is not None
+    metrics = t.run()
+    assert np.isfinite(metrics["map"])
+    assert t.act_cache.complete
+
+
+def test_batch_not_divisible_rejected(tmp_path):
+    with pytest.raises(ValueError, match="mesh_data"):
+        Trainer(
+            _cfg(str(tmp_path), mesh_data=3, batch_size=4),
+            workdir=str(tmp_path),
+        )
+
+
+def test_too_many_devices_rejected(tmp_path):
+    with pytest.raises(ValueError, match="devices"):
+        Trainer(_cfg(str(tmp_path), mesh_data=64), workdir=str(tmp_path))
