@@ -222,10 +222,28 @@ def batch_iterator(
     shuffle: bool = False,
     seed: int = 0,
     pad_final: bool = True,
+    index_batches=None,
 ) -> Iterator[dict]:
     """One epoch of fixed-shape batches (numpy). The final ragged batch is
     padded with repeated samples and flagged via `image_valid` so eval can
-    skip the padding (training usually drops it instead)."""
+    skip the padding (training usually drops it instead).
+
+    index_batches: optional iterable of [batch_size] index arrays that
+    REPLACES the internal order (e.g. parallel.shard_aligned_batches, whose
+    layout keeps the sharded activation pool's gathers rank-local)."""
+    if index_batches is not None:
+        for idxs in index_batches:
+            samples = dataset.load_batch(idxs)
+            batch = {
+                k: np.stack([s[k] for s in samples])
+                for k in ("image", "boxes", "labels", "gt_mask", "width", "height")
+            }
+            batch["image_valid"] = np.ones((len(idxs),), bool)
+            batch["paths"] = [s["path"] for s in samples]
+            batch["indices"] = np.asarray(idxs, np.int64)
+            yield batch
+        return
+
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)

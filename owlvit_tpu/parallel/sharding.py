@@ -210,3 +210,32 @@ def shard_aligned_batches(n: int, batch_size: int, dp: int, *, seed: int = 0):
     per = orders.shape[1]
     for start in range(0, per - per % sub, sub):
         yield np.concatenate([orders[r, start : start + sub] for r in range(dp)])
+
+
+def local_scatter(acts_all, idxs, acts, mesh: Mesh, axis: str = "data"):
+    """Write batch rows into the sharded pool with rank-local indexing.
+
+    Inverse of local_gather: acts_all [N, S, D] rows sharded over `axis`,
+    idxs [B] global indices aligned to the sharding (shard_aligned_batches),
+    acts [B, S, D] sharded over `axis`. Returns the updated pool, still
+    sharded — donate it at the jit boundary for an in-place update.
+    """
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    N = acts_all.shape[0]
+    dp = mesh.shape[axis]
+    assert N % dp == 0 and idxs.shape[0] % dp == 0
+
+    def body(a_loc, i_loc, v_loc):
+        base = jax.lax.axis_index(axis) * (N // dp)
+        return a_loc.at[i_loc - base].set(v_loc)
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis), P(axis, None, None)),
+        out_specs=P(axis, None, None),
+    )(acts_all, idxs, acts)

@@ -255,12 +255,28 @@ class Trainer:
                 terms,
             )
 
-        def tail_step_gather(state, acts_all, idxs, labels, boxes, gt_mask):
-            # device store: one HBM-local gather replaces any host transfer
-            return tail_loss_update(state, acts_all[idxs], labels, boxes, gt_mask)
+        if self.mesh is not None:
+            # Sharded pool: rows live on their data-parallel rank; the
+            # shard-aligned sampler (run()) keeps every gather/scatter
+            # rank-local — zero collectives in the steady state.
+            from owlvit_tpu.parallel import local_gather, local_scatter
 
-        def scatter_acts(acts_all, idxs, acts):
-            return acts_all.at[idxs].set(acts)
+            mesh = self.mesh
+
+            def tail_step_gather(state, acts_all, idxs, labels, boxes, gt_mask):
+                acts = local_gather(acts_all, idxs, mesh)
+                return tail_loss_update(state, acts, labels, boxes, gt_mask)
+
+            def scatter_acts(acts_all, idxs, acts):
+                return local_scatter(acts_all, idxs, acts, mesh)
+        else:
+
+            def tail_step_gather(state, acts_all, idxs, labels, boxes, gt_mask):
+                # one HBM-local gather replaces any host transfer
+                return tail_loss_update(state, acts_all[idxs], labels, boxes, gt_mask)
+
+            def scatter_acts(acts_all, idxs, acts):
+                return acts_all.at[idxs].set(acts)
 
         self.prefix_step = jax.jit(prefix_step)
         self.tail_step = jax.jit(tail_loss_update, donate_argnums=(0,))
@@ -274,13 +290,20 @@ class Trainer:
             raise ValueError(
                 f"training.cache_backbone_store must be auto|device|disk, got {store!r}"
             )
-        if self.mesh is not None and store != "disk":
-            # The single-array device store is not yet sharded over the mesh
-            # (needs the shard-aligned sampler + local_gather of
-            # parallel/sharding.py); the disk store shards naturally — the
-            # act batches enter through the same P("data") put as pixels.
+        if (
+            self.mesh is not None
+            and store != "disk"
+            and len(self.train_ds) % t.mesh_data != 0
+        ):
+            # The sharded pool owns rows contiguously per rank; a dataset
+            # that does not divide by mesh_data would drop the remainder
+            # from EVERY epoch under the aligned sampler — use the disk
+            # store instead (it shards naturally through the batch put).
             store = "disk"
-            print("cache_backbone: mesh run -> disk store", flush=True)
+            print(
+                f"cache_backbone: {len(self.train_ds)} images do not divide "
+                f"by mesh_data={t.mesh_data} -> disk store", flush=True,
+            )
         if store == "auto":
             # flash pads tokens to the query-block multiple (vit._pad_for_flash)
             from owlvit_tpu.ops.flash_attention import BLOCK_Q
@@ -337,9 +360,18 @@ class Trainer:
                 self.state.trainable, self.state.frozen, batch["image"]
             )
             if self._acts_dev is None:
-                self._acts_dev = jnp.zeros(
-                    (len(self.train_ds),) + acts.shape[1:], acts.dtype
-                )
+                shape = (len(self.train_ds),) + acts.shape[1:]
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    self._acts_dev = jax.jit(
+                        lambda: jnp.zeros(shape, acts.dtype),
+                        out_shardings=NamedSharding(
+                            self.mesh, PartitionSpec("data", None, None)
+                        ),
+                    )()
+                else:
+                    self._acts_dev = jnp.zeros(shape, acts.dtype)
             self._acts_dev = self.scatter_acts(
                 self._acts_dev, jnp.asarray(idxs), acts
             )
@@ -471,9 +503,23 @@ class Trainer:
         profiling = None
         for epoch in range(t.n_epochs):
             acc.reset()
+            index_batches = None
+            if (
+                t.cache_backbone
+                and self.mesh is not None
+                and self.act_store == "device"
+            ):
+                # keep gathers/scatters into the sharded pool rank-local
+                from owlvit_tpu.parallel import shard_aligned_batches
+
+                index_batches = shard_aligned_batches(
+                    len(self.train_ds), t.batch_size, t.mesh_data,
+                    seed=t.seed + epoch,
+                )
             it = batch_iterator(
                 self.train_ds, t.batch_size,
                 shuffle=True, seed=t.seed + epoch, pad_final=False,
+                index_batches=index_batches,
             )
             if self.act_cache is not None:  # disk store host-side swap
                 it = self._with_cached_acts(it)

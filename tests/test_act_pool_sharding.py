@@ -13,6 +13,7 @@ import pytest
 from owlvit_tpu.parallel import (
     create_mesh,
     local_gather,
+    local_scatter,
     shard_act_pool,
     shard_aligned_batches,
 )
@@ -56,6 +57,25 @@ def test_local_gather_rejects_misaligned_shapes(mesh):
     with pytest.raises(AssertionError):
         local_gather(shard_act_pool(jnp.zeros((16, 4, 4)), mesh)[:15],
                      jnp.zeros((8,), jnp.int32), mesh)
+
+
+def test_local_scatter_roundtrips_with_gather(mesh):
+    N, S, D, B = 16, 8, 4, 8
+    pool = shard_act_pool(jnp.zeros((N, S, D)), mesh)
+    rng = np.random.default_rng(2)
+    written = np.zeros((N, S, D), np.float32)
+    for idxs in shard_aligned_batches(N, B, 4, seed=5):
+        vals = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+        pool = jax.jit(
+            lambda p, i, v: local_scatter(p, i, v, mesh), donate_argnums=(0,)
+        )(pool, jnp.asarray(idxs), vals)
+        written[idxs] = np.asarray(vals)
+        assert pool.sharding.spec[0] == "data"  # stays sharded after update
+    np.testing.assert_array_equal(np.asarray(pool), written)
+    # and gather reads back exactly what scatter wrote
+    idxs = next(shard_aligned_batches(N, B, 4, seed=6))
+    got = local_gather(pool, jnp.asarray(idxs), mesh)
+    np.testing.assert_array_equal(np.asarray(got), written[idxs])
 
 
 def test_gather_feeds_sharded_tail_computation(mesh):
