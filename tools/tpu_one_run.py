@@ -51,7 +51,46 @@ try:
         _b.get_config = _patched  # in case of direct import
 
     t = time.time()
-    if args.get("infer") == "1":
+    if args.get("loss") == "1":
+        # Loss+matcher micro-bench: fwd+grad of push_pull_loss wrt
+        # (sims, boxes) at the train-step shape — isolates the ~25-30 ms of
+        # loss/matcher fusions seen in the cached-tail trace.
+        import numpy as np
+
+        from owlvit_tpu.models import get_config
+        from owlvit_tpu.ops import losses as loss_ops
+
+        cfg = get_config(model)
+        P_, C_, G_ = cfg.vision.num_patches, 80, 16
+        rng = np.random.default_rng(0)
+        sims = jnp.asarray(rng.normal(size=(batch, P_, C_)), jnp.float32)
+        boxes_raw = rng.uniform(0.05, 0.5, size=(batch, P_, 4)).astype(np.float32)
+        pred_boxes = jnp.asarray(
+            np.concatenate([boxes_raw[..., :2], boxes_raw[..., :2] + boxes_raw[..., 2:]], -1)
+        )
+        labels = jnp.asarray(rng.integers(0, C_, (batch, G_), dtype=np.int32))
+        gt = jnp.asarray(np.tile([[0.2, 0.2, 0.6, 0.7]], (batch, G_, 1)).astype(np.float32))
+        gm = jnp.asarray(np.tile(np.arange(G_) < 8, (batch, 1)))
+
+        def f(sims, pb):
+            terms = loss_ops.push_pull_loss(sims, pb, labels, gt, gm, C_)
+            return loss_ops.total_loss(terms)
+
+        g = jax.jit(jax.value_and_grad(f, argnums=(0, 1)))
+        out = g(sims, pred_boxes)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = g(sims, pred_boxes)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        rec.update(
+            ms_per_call=round(dt / steps * 1e3, 2),
+            loss=float(out[0]),
+            compile_secs=round(time.time() - t, 1),
+            ok=True,
+        )
+    elif args.get("infer") == "1":
         # Serving path: uint8 batch -> normalize -> forward -> NMS postprocess
         # (the eval/infer graph, trainer.eval_step equivalent).
         import numpy as np
