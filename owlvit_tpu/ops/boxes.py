@@ -107,6 +107,25 @@ def pairwise_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray):
     return inter / union, union
 
 
+def pairwise_iou_above(
+    boxes1: jnp.ndarray, boxes2: jnp.ndarray, threshold: float
+) -> jnp.ndarray:
+    """Pairwise predicate IoU > threshold, computed as inter > t*union.
+
+    Same boolean as `pairwise_iou(...) > t` (union >= inter >= 0; the
+    degenerate 0/0 case is False both ways) but skips the [N, M] divide —
+    the divide was ~1/3 of the label-propagation fusion's VPU time at
+    [2304, 2304]."""
+    area1 = area(boxes1)
+    area2 = area(boxes2)
+    lt = jnp.maximum(boxes1[..., :, None, :2], boxes2[..., None, :, :2])
+    rb = jnp.minimum(boxes1[..., :, None, 2:], boxes2[..., None, :, 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area1[..., :, None] + area2[..., None, :] - inter
+    return inter > threshold * union
+
+
 def pairwise_giou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
     """Pairwise generalized IoU of xyxy boxes: [..., N, M].
 

@@ -63,8 +63,8 @@ def _propagate_labels(
     One sweep over patches in index order; a patch relabeled earlier in the
     sweep propagates further (the reference iterates a tensor it mutates).
     """
-    iou, _ = box_ops.pairwise_iou(pred_boxes, pred_boxes)  # [P, P]
-    hot = iou > iou_threshold
+    # inter > t*union form: same boolean as iou > t, no [P, P] divide
+    hot = box_ops.pairwise_iou_above(pred_boxes, pred_boxes, iou_threshold)
 
     def body(j, tc):
         label = tc[j]

@@ -134,8 +134,11 @@ def cost_matrix(
     pred_sims [P, C] raw similarities; pred_boxes [P, 4] xyxy; gt_labels [G];
     gt_boxes [G, 4] xyxy; gt_mask [G] bool. Invalid rows are zeroed.
     """
-    prob = jax.nn.softmax(pred_sims.astype(jnp.float32), axis=-1)  # [P, C]
-    c_class = -prob[:, gt_labels].T  # [G, P]
+    # softmax[p, l] = exp(x - lse(x)); gathering the G needed columns first
+    # avoids materializing (and exp-ing) the full [P, C] probability tensor
+    x = pred_sims.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(x, axis=-1, keepdims=True)  # [P, 1]
+    c_class = -jnp.exp(x[:, gt_labels] - lse).T  # [G, P]
     c_bbox = jnp.sum(
         jnp.abs(gt_boxes[:, None, :] - pred_boxes[None, :, :]), axis=-1
     )  # [G, P]
