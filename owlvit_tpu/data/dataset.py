@@ -159,10 +159,20 @@ class DetectionDataset:
             wh[i] = (w, h)
         return imgs, wh
 
-    def load_batch(self, idxs) -> list:
+    def load_batch(self, idxs, with_images: bool = True) -> list:
         """Assemble samples for a batch of indices, decoding images through
-        the native pool in one call when no memmap cache is active."""
+        the native pool in one call when no memmap cache is active.
+
+        with_images=False skips decode/resize entirely (activation-cached
+        epochs need only GT + original sizes); sizes come from the resized
+        cache metadata or a header-only PIL open."""
         idxs = [int(i) for i in idxs]
+        if not with_images:
+            out = []
+            for i in idxs:
+                w, h = self._size_of(i)
+                out.append(self._make_sample(i, None, w, h))
+            return out
         if self._cache is not None:
             return [self[i] for i in idxs]
         keys = [self.items[i][0] for i in idxs]
@@ -171,6 +181,16 @@ class DetectionDataset:
             self._make_sample(i, imgs[j], int(wh[j, 0]), int(wh[j, 1]))
             for j, i in enumerate(idxs)
         ]
+
+    def _size_of(self, idx: int) -> tuple[int, int]:
+        """Original (w, h) without decoding pixels."""
+        if self._cache is not None:
+            w, h = self._sizes[idx]
+            return int(w), int(h)
+        key = self.items[idx][0]
+        path = os.path.join(self.images_dir, os.path.basename(key))
+        with Image.open(path) as im:  # header-only read
+            return im.size
 
     def _load_image(self, path_key: str) -> tuple[np.ndarray, int, int]:
         if self._cache is not None:
@@ -223,6 +243,7 @@ def batch_iterator(
     seed: int = 0,
     pad_final: bool = True,
     index_batches=None,
+    want_image=None,
 ) -> Iterator[dict]:
     """One epoch of fixed-shape batches (numpy). The final ragged batch is
     padded with repeated samples and flagged via `image_valid` so eval can
@@ -230,18 +251,27 @@ def batch_iterator(
 
     index_batches: optional iterable of [batch_size] index arrays that
     REPLACES the internal order (e.g. parallel.shard_aligned_batches, whose
-    layout keeps the sharded activation pool's gathers rank-local)."""
+    layout keeps the sharded activation pool's gathers rank-local).
+
+    want_image: optional callback idxs -> bool; False skips image
+    decode/resize for that batch and omits the "image" key (used by
+    activation-cached epochs, which only consume GT + indices)."""
+
+    def _assemble(idxs, valid):
+        with_images = want_image(idxs) if want_image is not None else True
+        samples = dataset.load_batch(idxs, with_images=with_images)
+        keys = ("boxes", "labels", "gt_mask", "width", "height")
+        if with_images:
+            keys = ("image",) + keys
+        batch = {k: np.stack([s[k] for s in samples]) for k in keys}
+        batch["image_valid"] = valid
+        batch["paths"] = [s["path"] for s in samples]
+        batch["indices"] = np.asarray(idxs, np.int64)
+        return batch
+
     if index_batches is not None:
         for idxs in index_batches:
-            samples = dataset.load_batch(idxs)
-            batch = {
-                k: np.stack([s[k] for s in samples])
-                for k in ("image", "boxes", "labels", "gt_mask", "width", "height")
-            }
-            batch["image_valid"] = np.ones((len(idxs),), bool)
-            batch["paths"] = [s["path"] for s in samples]
-            batch["indices"] = np.asarray(idxs, np.int64)
-            yield batch
+            yield _assemble(idxs, np.ones((len(idxs),), bool))
         return
 
     order = np.arange(len(dataset))
@@ -259,12 +289,4 @@ def batch_iterator(
             # is smaller than one batch (order alone would be too short).
             pad = np.resize(order, batch_size - len(idxs))
             idxs = np.concatenate([idxs, pad])
-        samples = dataset.load_batch(idxs)
-        batch = {
-            k: np.stack([s[k] for s in samples])
-            for k in ("image", "boxes", "labels", "gt_mask", "width", "height")
-        }
-        batch["image_valid"] = valid
-        batch["paths"] = [s["path"] for s in samples]
-        batch["indices"] = np.asarray(idxs, np.int64)  # for activation caching
-        yield batch
+        yield _assemble(idxs, valid)

@@ -29,16 +29,22 @@ def prefetch_to_device(
     if put is None:
         put = jax.device_put
 
+    # paths are host-only; indices stay host numpy too — trainers consume
+    # them for cache bookkeeping on the host, and a put+np.asarray roundtrip
+    # would add a per-step D2H sync on the slow relay link.
+    _HOST_KEYS = ("paths", "indices")
+
     def producer():
         try:
             for batch in iterator:
                 arrays = {
                     k: put(v)
                     for k, v in batch.items()
-                    if k != "paths"
+                    if k not in _HOST_KEYS
                 }
-                if "paths" in batch:
-                    arrays["paths"] = batch["paths"]
+                for k in _HOST_KEYS:
+                    if k in batch:
+                        arrays[k] = batch[k]
                 q.put(arrays)
             q.put(_SENTINEL)
         except BaseException as exc:  # propagate, never truncate silently

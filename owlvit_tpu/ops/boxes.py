@@ -112,10 +112,10 @@ def pairwise_iou_above(
 ) -> jnp.ndarray:
     """Pairwise predicate IoU > threshold, computed as inter > t*union.
 
-    Same boolean as `pairwise_iou(...) > t` (union >= inter >= 0; the
-    degenerate 0/0 case is False both ways) but skips the [N, M] divide —
-    the divide was ~1/3 of the label-propagation fusion's VPU time at
-    [2304, 2304]."""
+    Same boolean as `pairwise_iou(...) > t` for any boxes: the union > 0
+    guard covers degenerate inputs (negative-area xyxy would make
+    inter > t*union spuriously true while iou = 0/neg compares false),
+    and skips the [N, M] divide."""
     area1 = area(boxes1)
     area2 = area(boxes2)
     lt = jnp.maximum(boxes1[..., :, None, :2], boxes2[..., None, :, :2])
@@ -123,7 +123,7 @@ def pairwise_iou_above(
     wh = jnp.clip(rb - lt, 0.0)
     inter = wh[..., 0] * wh[..., 1]
     union = area1[..., :, None] + area2[..., None, :] - inter
-    return inter > threshold * union
+    return (inter > threshold * union) & (union > 0)
 
 
 def pairwise_giou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:

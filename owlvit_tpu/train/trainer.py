@@ -171,6 +171,22 @@ class Trainer:
         mcfg = self.model_cfg
         n_classes = self.n_classes
         tx = self.tx
+        self._scales = scales
+
+        def grad_update(state: TrainState, loss_fn):
+            """The ONE optimizer-update block (shared by the fused train
+            step and the cached tail step, so they can never diverge)."""
+            (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.trainable
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+            trainable = optax.apply_updates(state.trainable, updates)
+            return (
+                TrainState(trainable, state.frozen, opt_state, state.step + 1),
+                terms,
+            )
+
+        self._grad_update = grad_update
 
         def train_step(state: TrainState, batch):
             def loss_fn(trainable):
@@ -183,15 +199,7 @@ class Trainer:
                 )
                 return loss_ops.total_loss(terms), terms
 
-            (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.trainable
-            )
-            updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
-            trainable = optax.apply_updates(state.trainable, updates)
-            return (
-                TrainState(trainable, state.frozen, opt_state, state.step + 1),
-                terms,
-            )
+            return grad_update(state, loss_fn)
 
         t = cfg.training
 
@@ -225,12 +233,8 @@ class Trainer:
 
         cfg, mcfg = self.cfg, self.model_cfg
         n_classes = self.n_classes
-        tx = self.tx
-        scales = (
-            jnp.asarray(self.train_ds.class_scales(self.n_classes))
-            if cfg.training.use_class_weight
-            else None
-        )
+        scales = self._scales
+        grad_update = self._grad_update
 
         def prefix_step(trainable, frozen, images):
             params = combine_params(trainable, frozen)
@@ -245,15 +249,7 @@ class Trainer:
                 )
                 return loss_ops.total_loss(terms), terms
 
-            (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.trainable
-            )
-            updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
-            trainable = optax.apply_updates(state.trainable, updates)
-            return (
-                TrainState(trainable, state.frozen, opt_state, state.step + 1),
-                terms,
-            )
+            return grad_update(state, loss_fn)
 
         if self.mesh is not None:
             # Sharded pool: rows live on their data-parallel rank; the
@@ -333,12 +329,20 @@ class Trainer:
                     "model": m.name,
                     "dtype": m.dtype,
                     "trainable_last_k": m.trainable_last_k,
-                    "quant_backbone": m.quant_backbone,
+                    # env knobs change the prefix numerics too (vit.py reads
+                    # them at trace time) — a stale cache must not survive an
+                    # A/B flip of either
+                    "quant_backbone": m.quant_backbone
+                    or os.environ.get("OWLVIT_QUANT_BACKBONE") == "1",
+                    "fast_softmax": os.environ.get("OWLVIT_FAST_SOFTMAX", "0"),
                     "attention_impl": owlvit._attn_impl(mcfg),
                     "dataset": [k for k, _ in self.train_ds.items],
                 }
             )
-            base = f"{cfg.data.train_annotations}.backbone_{m.name}"
+            # workdir, not the dataset dir: annotations often live on
+            # read-only mounts, and the cache is an artifact of THIS run
+            # config (the fingerprint pins dataset identity)
+            base = os.path.join(self.workdir, f"backbone_{m.name}")
             self.act_cache = ActivationCache(base, len(self.train_ds), fp)
 
     def _train_one_batch(self, batch) -> dict:
@@ -390,23 +394,24 @@ class Trainer:
         self.state, terms = self.tail_step(self.state, acts, *args)
         return terms
 
+    def _want_image(self):
+        """batch_iterator callback: skip image decode AND transfer entirely
+        for batches whose activations are already cached (the cache makes
+        pixels dead weight — this is where the host-decode and the
+        56 MB/step H2D savings of a cached epoch actually come from)."""
+        if not self.cfg.training.cache_backbone:
+            return None
+        if self.act_store == "device":
+            return lambda idxs: not self._acts_filled[np.asarray(idxs)].all()
+        return lambda idxs: not self.act_cache.has(idxs)
+
     def _with_cached_acts(self, it):
-        """Host-side (disk store): swap `image` for cached activations when
-        available (before prefetch, so the device transfer ships acts instead
-        of pixels, never both)."""
+        """Host-side (disk store): attach cached activations when available
+        (the image was already skipped at assembly by _want_image)."""
         for batch in it:
             if self.act_cache.has(batch["indices"]):
                 batch["acts"] = self.act_cache.read(batch["indices"])
-                del batch["image"]
-            yield batch
-
-    def _drop_images_when_cached(self, it):
-        """Host-side (device store): once a batch's activations are all in
-        HBM its pixels are dead weight — don't ship them over the (slow,
-        ~1.6 GB/s here) host->device link at all."""
-        for batch in it:
-            if self._acts_filled[batch["indices"]].all():
-                del batch["image"]
+                batch.pop("image", None)
             yield batch
 
     def _batch_put(self):
@@ -520,11 +525,10 @@ class Trainer:
                 self.train_ds, t.batch_size,
                 shuffle=True, seed=t.seed + epoch, pad_final=False,
                 index_batches=index_batches,
+                want_image=self._want_image(),
             )
             if self.act_cache is not None:  # disk store host-side swap
                 it = self._with_cached_acts(it)
-            elif self.cfg.training.cache_backbone and self.act_store == "device":
-                it = self._drop_images_when_cached(it)
             for step_i, batch in enumerate(
                 prefetch_to_device(it, put=self._batch_put())
             ):

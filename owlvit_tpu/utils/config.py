@@ -62,7 +62,7 @@ class TrainingConfig:
     # HBM (no per-step host transfer — measured H2D here is ~1.6 GB/s, i.e.
     # ~75 ms/batch for B/16 b32 acts, comparable to the tail step itself);
     # "disk" memmaps them on the host (persists across runs, any size);
-    # "auto" picks device when the whole set fits in ~8 GB of HBM.
+    # "auto" picks device when the whole set fits in ~10 GB of HBM.
     cache_backbone_store: str = "auto"
     # GSPMD mesh for the train/eval steps: batch shards over mesh_data
     # (gradient all-reduce rides ICI), tensors over mesh_model

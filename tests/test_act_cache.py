@@ -137,7 +137,7 @@ def test_trainer_cached_run_matches_uncached(tmp_path, store):
 
 def test_auto_store_picks_device_for_small_sets(tmp_path):
     t, _ = _run(str(tmp_path / "auto"), cache_backbone=True, store="auto")
-    assert t.act_store == "device"  # tiny model, 8 images: far under 8 GB
+    assert t.act_store == "device"  # tiny model, 8 images: far under 10 GB
 
 
 def test_trainer_cache_requires_frozen_prefix(tmp_path):
