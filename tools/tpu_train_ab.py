@@ -43,7 +43,7 @@ try:
             batch_size=int(args.get("batch", "8")),
             log_file=None,
             top_k=64,
-            seed=0,
+            seed=int(args.get("seed", "0")),
             cache_backbone=args.get("cache", "0") == "1",
         ),
         model=ModelConfig(
