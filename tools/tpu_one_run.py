@@ -99,7 +99,14 @@ try:
         from owlvit_tpu.ops import nms as nms_ops
         from owlvit_tpu.ops.preprocess import normalize_image
 
-        cfg = get_config(model, dtype=dtype, trainable_last_k=None)
+        # ik=0 makes the WHOLE encoder a frozen prefix -> composes with
+        # quant=1 (int8 projections/MLP) for fully-quantized serving.
+        ik = args.get("ik")
+        cfg = get_config(
+            model, dtype=dtype,
+            trainable_last_k=int(ik) if ik is not None else None,
+            quant_backbone=args.get("quant") == "1",
+        )
         n_classes = 80
         params = owlvit.init(jax.random.PRNGKey(0), cfg, num_queries=3 * n_classes)
         S = cfg.vision.image_size
