@@ -44,6 +44,8 @@ try:
             log_file=None,
             top_k=64,
             seed=int(args.get("seed", "0")),
+            lr_schedule=args.get("lrsched", "constant"),
+            warmup_steps=int(args.get("warmup", "0")),
             cache_backbone=args.get("cache", "0") == "1",
         ),
         model=ModelConfig(
