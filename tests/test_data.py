@@ -200,3 +200,51 @@ def test_prefetch_propagates_producer_errors():
     next(it)
     with pytest.raises(RuntimeError, match="decode exploded"):
         next(it)
+
+
+def test_load_batch_without_images_matches_gt(synth):
+    """with_images=False (activation-cached epochs): same GT/size fields,
+    no pixel decode."""
+    ds = DetectionDataset(synth["train"], synth["images_dir"], image_size=64)
+    idxs = [0, 3, 5]
+    full = ds.load_batch(idxs, with_images=True)
+    lean = ds.load_batch(idxs, with_images=False)
+    for a, b in zip(full, lean):
+        assert b["image"] is None
+        for k in ("boxes", "labels", "gt_mask"):
+            np.testing.assert_array_equal(a[k], b[k])
+        assert (a["width"], a["height"]) == (b["width"], b["height"])
+        assert a["path"] == b["path"]
+
+
+def test_batch_iterator_want_image_skips_pixels(synth):
+    ds = DetectionDataset(synth["train"], synth["images_dir"], image_size=64)
+    calls = []
+
+    def want(idxs):
+        calls.append(list(map(int, idxs)))
+        return len(calls) % 2 == 1  # odd batches keep images
+
+    batches = list(
+        batch_iterator(ds, 4, shuffle=False, pad_final=False, want_image=want)
+    )
+    assert len(batches) == 2 and len(calls) == 2
+    assert "image" in batches[0] and "image" not in batches[1]
+    # everything else identical to a normal batch
+    for k in ("boxes", "labels", "gt_mask", "width", "height", "indices"):
+        assert k in batches[1]
+
+
+def test_index_batches_respects_want_image(synth):
+    ds = DetectionDataset(synth["train"], synth["images_dir"], image_size=64)
+    idx_batches = [np.array([1, 2]), np.array([5, 6])]
+    out = list(
+        batch_iterator(
+            ds, 2, index_batches=iter(idx_batches),
+            want_image=lambda idxs: False,
+        )
+    )
+    assert len(out) == 2
+    for b, idxs in zip(out, idx_batches):
+        assert "image" not in b
+        np.testing.assert_array_equal(b["indices"], idxs)
