@@ -71,7 +71,12 @@ def _propagate_labels(
         take = (label != n_classes) & hot[j]
         return jnp.where(take, label, tc)
 
-    return jax.lax.fori_loop(0, pred_boxes.shape[0], body, target_classes)
+    # unroll: the body is a handful of VPU ops on [P]; at P=2304 the loop is
+    # iteration-overhead-bound (~3.3 ms/step in the cached-tail trace).
+    # Unrolling preserves the exact sequential order (quirk #7).
+    return jax.lax.fori_loop(
+        0, pred_boxes.shape[0], body, target_classes, unroll=8
+    )
 
 
 def push_pull_loss(
