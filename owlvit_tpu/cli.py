@@ -71,6 +71,14 @@ def _cmd_infer(args):
             tok = CLIPTokenizer(cfg.model.clip_vocab, cfg.model.clip_merges,
                                 max_len=mcfg.text.max_len)
         else:
+            print(
+                "warning: model.clip_vocab is not set — free-text queries "
+                "are encoded by the FALLBACK HashTokenizer, so the text "
+                "embeddings (and every detection below) are meaningless "
+                "for a real checkpoint. Fetch the CLIP BPE assets "
+                "(scripts/fetch_assets.py) and set model.clip_vocab/"
+                "clip_merges.", file=sys.stderr, flush=True,
+            )
             tok = HashTokenizer(mcfg.text.vocab_size, max_len=mcfg.text.max_len)
         enc = tok(args.queries)
         boxes_j, logits = owlvit.forward_zero_shot(

@@ -112,10 +112,12 @@ def pairwise_iou_above(
 ) -> jnp.ndarray:
     """Pairwise predicate IoU > threshold, computed as inter > t*union.
 
-    Same boolean as `pairwise_iou(...) > t` for any boxes: the union > 0
-    guard covers degenerate inputs (negative-area xyxy would make
-    inter > t*union spuriously true while iou = 0/neg compares false),
-    and skips the [N, M] divide."""
+    Same boolean as `pairwise_iou(...) > t` up to floating-point rounding
+    at the threshold boundary (inter > t*union and inter/union > t can
+    disagree by one ulp for IoUs exactly at t — don't rely on boundary
+    ties for exact parity). The union > 0 guard covers degenerate inputs
+    (negative-area xyxy would make inter > t*union spuriously true while
+    iou = 0/neg compares false), and skips the [N, M] divide."""
     area1 = area(boxes1)
     area2 = area(boxes2)
     lt = jnp.maximum(boxes1[..., :, None, :2], boxes2[..., None, :, :2])
