@@ -303,37 +303,12 @@ def _group_heads(num_heads: int, head_dim: int) -> int:
     return max(1, min(num_heads, GROUP_LANES // head_dim))
 
 
-def _batched_heads() -> bool:
-    """OWLVIT_BATCHED_HEADS=1: compute all hg heads of a program in ONE
-    batched dot_general ([hg, BQ, hd] x [hg, S, hd]) instead of a python
-    loop of per-head matmuls — halves per-program op count at the price of
-    two in-VMEM relayouts (head-split transposes). A/B knob (NOTES r2 #1,
-    the last untried kernel shape)."""
-    return _os.environ.get("OWLVIT_BATCHED_HEADS", "0") == "1"
-
-
-def _pk_fwd_kernel_bh(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
-                      *, scale, hg, hd):
-    BQ = q_ref.shape[1]
-    S = k_ref.shape[1]
-    q = q_ref[0].reshape(BQ, hg, hd).transpose(1, 0, 2)  # [hg, BQ, hd]
-    k = k_ref[0].reshape(S, hg, hd).transpose(1, 0, 2)   # [hg, S, hd]
-    v = v_ref[0].reshape(S, hg, hd).transpose(1, 0, 2)
-    q = (q * jnp.asarray(scale, q.dtype)).astype(q.dtype)
-    s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # [hg, BQ, S]
-    s = s + bias_ref[0][None]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) / l  # [hg, BQ, hd]
-    o_ref[0] = o.transpose(1, 0, 2).reshape(BQ, hg * hd).astype(o_ref.dtype)
-    lse_ref[0, 0] = (m + jnp.log(l))[..., 0].T  # [BQ, hg]
+# NOTE: a batched-heads fwd kernel variant (one [hg, BQ, hd] x [hg, S, hd]
+# dot_general per program instead of a python loop over lane slices) was
+# built and measured in r2: bit-exact in interpret mode, but Mosaic rejects
+# the in-kernel lane-dim reshape/transposes on real TPU (remote-compile 500,
+# CLAUDE.md invariants). Deleted in r3 per VERDICT §Weak-5 — per-head lane
+# slicing below is the only Mosaic-legal shape for this kernel.
 
 
 def _pk_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
@@ -491,15 +466,10 @@ def _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False):
         bias = _key_bias_row(S_pad, s_real)
         bspec = pl.BlockSpec((1, S_pad), lambda b, g, i: (0, 0),
                              memory_space=pltpu.VMEM)
-        if _batched_heads() and not fast_softmax and hg > 1:
-            kern = functools.partial(
-                _pk_fwd_kernel_bh, scale=scale, hg=hg, hd=hd
-            )
-        else:
-            kern = functools.partial(
-                _pk_fwd_kernel, scale=scale, hg=hg, hd=hd,
-                fast_softmax=fast_softmax,
-            )
+        kern = functools.partial(
+            _pk_fwd_kernel, scale=scale, hg=hg, hd=hd,
+            fast_softmax=fast_softmax,
+        )
         return pl.pallas_call(
             kern,
             grid=(B, G, S_pad // BLOCK_Q),
@@ -611,6 +581,83 @@ def _pk_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref, bias_ref,
     dv_ref[0] = jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
 
 
+def _pk_fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, bias_ref,
+                         dq_ref, dk_ref, dv_ref, *, scale, s_real, hg, hd):
+    """Fused dQ+dK+dV in ONE kernel (r3, VERDICT next #4a).
+
+    The split backward runs two kernels that each rebuild the [BQ, S] score
+    matrix: dq by query block (4 matmuls/program) and dkv by key block
+    (4 matmuls + an extra transposed score product). Fusing shares ONE
+    recomputed p and ONE dp between all three grads: 5 matmuls/program
+    total vs 9 across the two kernels — near-halving the backward's MXU
+    and VMEM traffic.
+
+    dk/dv are ACCUMULATED across the (sequential, innermost) query-block
+    grid dim into revisited [1, S_pad, lanes] fp32 output blocks — the
+    standard reduce-over-grid pattern; fp32 accumulators keep the partial
+    sums exact enough that the final bf16 cast matches the single-matmul
+    split kernels to ~1 ulp. Padded KEY columns contribute nothing (bias
+    row drives p to 0 -> their dk/dv rows stay 0); padded QUERY rows are
+    masked explicitly (their p is garbage — the pad lives outside the
+    layer scan, so their cotangents would leak into shared weight grads).
+    """
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    q = q_ref[0]    # [BQ, lanes]
+    k = k_ref[0]    # [S_pad, lanes]
+    v = v_ref[0]
+    do = do_ref[0]  # [BQ, lanes]
+    o = o_ref[0]
+    BQ = q.shape[0]
+    # padded-query-row mask [BQ, 1]: global row index >= s_real -> 0
+    qrow = jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0) + i * BQ
+    qmask = (qrow < s_real).astype(jnp.float32)
+    dqs, dks, dvs = [], [], []
+    for h in range(hg):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh = q[:, sl]
+        # ONE scale application on each small [*, hd] tile: kh_s serves the
+        # score product AND dq = ds @ (scale*k); qh_s serves
+        # dk = ds^T @ (scale*q). Scaling both full operands of s would
+        # square the scale.
+        kh_s = (k[:, sl] * jnp.asarray(scale, k.dtype)).astype(k.dtype)
+        qh_s = (qh * jnp.asarray(scale, q.dtype)).astype(q.dtype)
+        vh = v[:, sl]
+        doh = do[:, sl]
+        oh = o[:, sl]
+        s = jax.lax.dot_general(qh, kh_s, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s + bias_ref[0]  # pad keys -> -1e30
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # softmax == exp(s - lse)
+        if s_real < k.shape[0]:  # static: skip the pass when nothing is padded
+            p = p * qmask  # padded query rows contribute nothing anywhere
+        delta = jnp.sum(
+            doh.astype(jnp.float32) * oh.astype(jnp.float32),
+            axis=-1, keepdims=True,
+        )  # [BQ, 1]
+        dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta)).astype(kh_s.dtype)  # [BQ, S_pad]
+        dqs.append(jax.lax.dot_general(ds, kh_s, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32))
+        # contraction over the BQ query rows of this block:
+        dks.append(jax.lax.dot_general(ds, qh_s, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32))
+        dvs.append(jax.lax.dot_general(p.astype(doh.dtype), doh,
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32))
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
+    dk_ref[0] += jnp.concatenate(dks, axis=-1)
+    dv_ref[0] += jnp.concatenate(dvs, axis=-1)
+
+
 def _transposed_bwd_from_packed(scale, s_real, H, hd, res, g):  # noqa: D401
     """Compute (dq, dk, dv) for packed [B, S, D] tensors via the transposed
     [B*H, S, hd] kernels (layout copies included) — the hybrid fallback."""
@@ -636,9 +683,12 @@ def _transposed_bwd_from_packed(scale, s_real, H, hd, res, g):  # noqa: D401
 
 
 def _pk_bwd_mode() -> str:
-    """Which halves of the packed backward use the packed kernels:
-    'both' (default), 'dq', 'dkv' — diagnostic knob for isolating the
-    device fault seen under the full-model grad (r1 + r2a2)."""
+    """Which packed-backward variant runs:
+    'fused' — ONE dq+dk+dv kernel sharing the recomputed p (5 matmuls/
+    program vs 9 across the split pair);
+    'both' (default pending the on-chip A/B) — the r2 split pair (dq
+    kernel + transposed dkv kernel);
+    'dq'/'dkv' — diagnostic halves (isolating the r1 device fault)."""
     import os
 
     return os.environ.get("OWLVIT_PACKED_BWD", "both")
@@ -660,14 +710,40 @@ def _pk_bwd(scale, s_real, H, hd, fast_softmax, res, g):
     mode = _pk_bwd_mode()
 
     def core(q2, k2, v2, o2, lse, do2):
-        if mode != "both":
-            dq_t, dk_t, dv_t = _transposed_bwd_from_packed(
-                scale, s_real, H, hd, (q2, k2, v2, o2, lse), do2
-            )
         B, S_pad, D = q2.shape
         hg = _group_heads(H, hd)
         G = H // hg
         lanes = hg * hd
+        if mode == "fused":
+            qspec, kvspec = _pk_specs(S_pad, D, BLOCK_Q, lanes)
+            bias = _key_bias_row(S_pad, s_real)
+            bspec = pl.BlockSpec((1, S_pad), lambda b, g, i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+            # dk/dv accumulate across the sequential query-block dim into
+            # fp32 blocks revisited at every i (index map constant in i)
+            accspec = pl.BlockSpec((1, S_pad, lanes), lambda b, g, i: (b, 0, g),
+                                   memory_space=pltpu.VMEM)
+            dq, dkf, dvf = pl.pallas_call(
+                functools.partial(
+                    _pk_fused_bwd_kernel, scale=scale, s_real=s_real,
+                    hg=hg, hd=hd,
+                ),
+                grid=(B, G, S_pad // BLOCK_Q),
+                compiler_params=_pk_compiler_params(),
+                in_specs=[qspec, kvspec, kvspec, qspec, qspec, bspec],
+                out_specs=[qspec, accspec, accspec],
+                out_shape=[
+                    jax.ShapeDtypeStruct((B, S_pad, D), q2.dtype),
+                    jax.ShapeDtypeStruct((B, S_pad, D), jnp.float32),
+                    jax.ShapeDtypeStruct((B, S_pad, D), jnp.float32),
+                ],
+                interpret=_interpret(),
+            )(q2, k2, v2, do2, o2, bias)
+            return dq, dkf.astype(k2.dtype), dvf.astype(v2.dtype)
+        if mode != "both":
+            dq_t, dk_t, dv_t = _transposed_bwd_from_packed(
+                scale, s_real, H, hd, (q2, k2, v2, o2, lse), do2
+            )
         # dkv wants per-query rows: lse/delta as [B, G, hg, S_pad] (S in
         # lanes). The hg (=2) dim is PADDED to 8 sublanes: full-model grads
         # faulted on device with 2-sublane full-row blocks (isolated via

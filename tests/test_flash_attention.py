@@ -128,6 +128,43 @@ def test_packed_matches_reference_fwd_bwd(rng, monkeypatch):
         )
 
 
+def test_fused_bwd_matches_reference(rng, monkeypatch):
+    """OWLVIT_PACKED_BWD=fused: the single dq+dk+dv kernel (r3) against the
+    XLA reference, fp32, at a shape that pads (query+key masks exercised)."""
+    monkeypatch.setenv("OWLVIT_PACKED_FLASH", "1")
+    monkeypatch.setenv("OWLVIT_PACKED_BWD", "fused")
+    from owlvit_tpu.ops.flash_attention import flash_attention_packed
+
+    B, S, H, hd = 2, 130, 4, 64
+    D = H * hd
+    q2, k2, v2 = (rng.normal(size=(B, S, D)).astype(np.float32) for _ in range(3))
+    scale = hd**-0.5
+    co = rng.normal(size=(B, S, D)).astype(np.float32)
+
+    def split(x):
+        return x.reshape(B, S, H, hd)
+
+    def f_packed(q, k, v):
+        return jnp.sum(
+            flash_attention_packed(q, k, v, scale=scale, num_heads=H) * co
+        )
+
+    def f_ref(q, k, v):
+        o = ref_attention(split(q), split(k), split(v), scale)
+        return jnp.sum(o.reshape(B, S, D) * co)
+
+    g_p = jax.grad(f_packed, argnums=(0, 1, 2))(
+        jnp.asarray(q2), jnp.asarray(k2), jnp.asarray(v2)
+    )
+    g_r = jax.grad(f_ref, argnums=(0, 1, 2))(
+        jnp.asarray(q2), jnp.asarray(k2), jnp.asarray(v2)
+    )
+    for a, b, n in zip(g_p, g_r, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5, err_msg=n
+        )
+
+
 def test_hybrid_matches_reference_fwd_bwd(rng):
     from owlvit_tpu.ops.flash_attention import flash_attention_hybrid
 
