@@ -77,47 +77,35 @@ class MeanAveragePrecision:
 
     # -- core matching ------------------------------------------------------
 
-    def _evaluate_image_class(self, img, cls, area_rng, max_det):
-        """Returns (det_scores, det_matched, det_ignored, n_valid_gt) for one
-        (image, class, area, maxDet) cell across all IoU thresholds."""
+    def _image_class_data(self, img, cls):
+        """Per-(image, class) work shared by every (area, maxDet) cell:
+        subset + score-sort detections (capped at max(MAX_DETS) — greedy
+        matching is prefix-stable, see _accumulate), subset GT, ONE IoU
+        matrix. The r2 version recomputed this 12x per (image, class)."""
         pb, ps, pl, gb, gl = img
         dm = pl == cls
         gm = gl == cls
         det_boxes, det_scores = pb[dm], ps[dm]
         gt = gb[gm]
 
-        order = np.argsort(-det_scores, kind="stable")[:max_det]
+        order = np.argsort(-det_scores, kind="stable")[: max(MAX_DETS)]
         det_boxes, det_scores = det_boxes[order], det_scores[order]
+        return (
+            det_scores,
+            _iou_matrix(det_boxes, gt),
+            _box_area(det_boxes),
+            _box_area(gt),
+        )
 
-        g_area = _box_area(gt)
-        # pycocotools bounds are inclusive on BOTH ends: ignore iff
-        # area < lo or area > hi (an exactly-32^2 box counts in small AND
-        # medium). Using >= hi here diverged at exact bucket boundaries.
-        g_ignore = (g_area < area_rng[0]) | (g_area > area_rng[1])
-        # sort GT: valid first (pycocotools processes ignores last)
-        g_order = np.argsort(g_ignore, kind="stable")
-        gt, g_ignore = gt[g_order], g_ignore[g_order]
-
+    @staticmethod
+    def _py_match(iou, g_ignore):
+        """Greedy per-threshold matching (reference protocol), python
+        fallback when the native library is unavailable."""
         T = len(IOU_THRS)
-        D, G = len(det_boxes), len(gt)
-        iou = _iou_matrix(det_boxes, gt)
-
-        if D and G:
-            # C++ fast path (owlvit_tpu/native): same greedy matching.
-            from owlvit_tpu import native
-
-            nm = native.coco_match(iou, g_ignore, IOU_THRS)
-            if nm is not None:
-                matched, ignored = nm
-                d_area = _box_area(det_boxes)
-                d_out = (d_area < area_rng[0]) | (d_area > area_rng[1])
-                ignored = ignored | (~matched & d_out[None, :])
-                return det_scores, matched, ignored, int((~g_ignore).sum())
-
+        D, G = iou.shape
         matched = np.zeros((T, D), bool)
         ignored = np.zeros((T, D), bool)
         gt_taken = np.zeros((T, G), bool)
-
         for ti, thr in enumerate(IOU_THRS):
             for d in range(D):
                 best, best_g = min(thr, 1 - 1e-10), -1
@@ -135,39 +123,83 @@ class MeanAveragePrecision:
                 gt_taken[ti, best_g] = True
                 matched[ti, d] = True
                 ignored[ti, d] = g_ignore[best_g]
+        return matched, ignored
+
+    def _match_class_area(self, data, area_rng):
+        """One (image, class, area) match at maxDet = max(MAX_DETS); smaller
+        maxDets are derived by truncation in _accumulate. Returns
+        (det_scores, matched [T, D], ignored [T, D], n_valid_gt)."""
+        det_scores, iou, d_area, g_area = data
+        # pycocotools bounds are inclusive on BOTH ends: ignore iff
+        # area < lo or area > hi (an exactly-32^2 box counts in small AND
+        # medium). Using >= hi here diverged at exact bucket boundaries.
+        g_ignore = (g_area < area_rng[0]) | (g_area > area_rng[1])
+        # sort GT: valid first (pycocotools processes ignores last)
+        g_order = np.argsort(g_ignore, kind="stable")
+        g_ignore = g_ignore[g_order]
+
+        T = len(IOU_THRS)
+        D, G = iou.shape
+        if D and G:
+            iou_s = np.ascontiguousarray(iou[:, g_order])
+            # C++ fast path (owlvit_tpu/native): same greedy matching.
+            from owlvit_tpu import native
+
+            nm = native.coco_match(iou_s, g_ignore, IOU_THRS)
+            matched, ignored = (
+                nm if nm is not None else self._py_match(iou_s, g_ignore)
+            )
+        else:
+            matched = np.zeros((T, D), bool)
+            ignored = np.zeros((T, D), bool)
 
         # unmatched detections outside the area range are ignored
-        d_area = _box_area(det_boxes)
         d_out = (d_area < area_rng[0]) | (d_area > area_rng[1])
         ignored = ignored | (~matched & d_out[None, :])
+        return det_scores, matched, ignored, int((~g_ignore).sum())
 
-        n_valid_gt = int((~g_ignore).sum())
-        return det_scores, matched, ignored, n_valid_gt
+    def _evaluate_image_class(self, img, cls, area_rng, max_det):
+        """One (image, class, area, maxDet) cell across all IoU thresholds
+        (kept for tests/diagnostics; _accumulate shares the per-class work)."""
+        s, mt, ig, ng = self._match_class_area(
+            self._image_class_data(img, cls), area_rng
+        )
+        return s[:max_det], mt[:, :max_det], ig[:, :max_det], ng
 
     def _accumulate(self):
-        """-> precision [T, R, K, A, M], recall [T, K, A, M] (-1 = no GT)."""
+        """-> precision [T, R, K, A, M], recall [T, K, A, M] (-1 = no GT).
+
+        Shapes the work so nothing is recomputed across cells: the IoU
+        matrix and detection sort are per (image, class); the greedy match
+        is per (image, class, area) at maxDet=100 — maxDets 1/10 fall out
+        by truncating its results, exactly as pycocotools slices
+        dtm[:, :maxDet] (greedy matching processes detections in descending
+        score order, so the first m outcomes never depend on later
+        detections). The r2 version re-walked every image 12x per class;
+        at the reference recipe shape (80 classes x 100 images x 200 dets)
+        that was ~12 s per eval epoch — comparable to a whole cached
+        training epoch.
+        """
         T, R = len(IOU_THRS), len(REC_THRS)
         K, A, M = self.num_classes, len(AREA_RANGES), len(MAX_DETS)
         precision = -np.ones((T, R, K, A, M))
         recall = -np.ones((T, K, A, M))
 
         for k in range(K):
+            datas = [self._image_class_data(img, k) for img in self._images]
             for a, rng in enumerate(AREA_RANGES.values()):
+                evals = [self._match_class_area(d, rng) for d in datas]
+                n_gt = sum(e[3] for e in evals)
+                if n_gt == 0:
+                    continue
                 for m, max_det in enumerate(MAX_DETS):
-                    scores, matches, ignores, n_gt = [], [], [], 0
-                    for img in self._images:
-                        s, mt, ig, ng = self._evaluate_image_class(
-                            img, k, rng, max_det
-                        )
-                        scores.append(s)
-                        matches.append(mt)
-                        ignores.append(ig)
-                        n_gt += ng
-                    if n_gt == 0:
-                        continue
-                    scores = np.concatenate(scores)
-                    matches = np.concatenate(matches, axis=1)  # [T, D_total]
-                    ignores = np.concatenate(ignores, axis=1)
+                    scores = np.concatenate([e[0][:max_det] for e in evals])
+                    matches = np.concatenate(
+                        [e[1][:, :max_det] for e in evals], axis=1
+                    )  # [T, D_total]
+                    ignores = np.concatenate(
+                        [e[2][:, :max_det] for e in evals], axis=1
+                    )
                     order = np.argsort(-scores, kind="mergesort")
                     matches, ignores = matches[:, order], ignores[:, order]
 
@@ -180,8 +212,8 @@ class MeanAveragePrecision:
                         pr = tp / np.maximum(tp + fp, 1e-12)
                         recall[ti, k, a, m] = rc[-1] if len(rc) else 0.0
                         # monotone non-increasing precision envelope
-                        for i in range(len(pr) - 1, 0, -1):
-                            pr[i - 1] = max(pr[i - 1], pr[i])
+                        if len(pr):
+                            pr = np.maximum.accumulate(pr[::-1])[::-1]
                         idx = np.searchsorted(rc, REC_THRS, side="left")
                         q = np.zeros(R)
                         ok = idx < len(pr)
