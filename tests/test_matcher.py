@@ -28,6 +28,48 @@ def test_hungarian_vs_scipy(rng, shape):
         )
 
 
+def test_hungarian_row_mask_solves_submatrix(rng):
+    """Masked rows are skipped (col4row -1); the valid rows' assignment is
+    exactly the solve of the valid-row submatrix (r3 padded-GT skip)."""
+    for trial in range(5):
+        cost = rng.normal(size=(12, 30)).astype(np.float32)
+        mask = rng.uniform(size=12) < 0.5
+        if not mask.any():
+            mask[0] = True
+        ours = np.asarray(
+            matcher.hungarian(jnp.asarray(cost), row_mask=jnp.asarray(mask))
+        )
+        assert (ours[~mask] == -1).all(), "masked rows must stay unassigned"
+        sub = cost[mask]
+        ri, ci = linear_sum_assignment(sub)
+        valid = ours[mask]
+        assert len(set(valid.tolist())) == mask.sum(), "injective on valid rows"
+        np.testing.assert_allclose(
+            sub[np.arange(len(valid)), valid].sum(), sub[ri, ci].sum(),
+            rtol=1e-5, atol=1e-5,
+        )
+
+
+def test_hungarian_row_mask_batched(rng):
+    """vmapped masked solve (the production shape: per-image gt_mask)."""
+    B, G, P = 4, 8, 40
+    costs = rng.normal(size=(B, G, P)).astype(np.float32)
+    n_valid = np.array([2, 5, 8, 1])
+    masks = np.arange(G)[None, :] < n_valid[:, None]
+    outs = np.asarray(
+        jax.vmap(matcher.hungarian)(jnp.asarray(costs), jnp.asarray(masks))
+    )
+    for b in range(B):
+        sub = costs[b][masks[b]]
+        ri, ci = linear_sum_assignment(sub)
+        valid = outs[b][masks[b]]
+        assert (outs[b][~masks[b]] == -1).all()
+        np.testing.assert_allclose(
+            sub[np.arange(len(valid)), valid].sum(), sub[ri, ci].sum(),
+            rtol=1e-5, atol=1e-5,
+        )
+
+
 def test_hungarian_integer_ties(rng):
     # Ties: many equal entries — total cost must still be optimal.
     for trial in range(5):
