@@ -117,13 +117,27 @@ def pairwise_iou_above(
     disagree by one ulp for IoUs exactly at t — don't rely on boundary
     ties for exact parity). The union > 0 guard covers degenerate inputs
     (negative-area xyxy would make inter > t*union spuriously true while
-    iou = 0/neg compares false), and skips the [N, M] divide."""
+    iou = 0/neg compares false), and skips the [N, M] divide.
+
+    Coordinates are broadcast SEPARATELY into [..., N, M] planes instead
+    of stacked [..., N, M, 2] lt/rb tensors: this runs at the quirk-#7
+    label-propagation shape ([B, P, P] with P=3600 at L/14), where a
+    trailing size-2 dim gets 16x tile padding — the stacked form cost
+    11.6 GB of pure padding and OOM'd the L/14 tail step (r3). Per-plane
+    math is elementwise-identical."""
     area1 = area(boxes1)
     area2 = area(boxes2)
-    lt = jnp.maximum(boxes1[..., :, None, :2], boxes2[..., None, :, :2])
-    rb = jnp.minimum(boxes1[..., :, None, 2:], boxes2[..., None, :, 2:])
-    wh = jnp.clip(rb - lt, 0.0)
-    inter = wh[..., 0] * wh[..., 1]
+    iw = jnp.clip(
+        jnp.minimum(boxes1[..., :, None, 2], boxes2[..., None, :, 2])
+        - jnp.maximum(boxes1[..., :, None, 0], boxes2[..., None, :, 0]),
+        0.0,
+    )
+    ih = jnp.clip(
+        jnp.minimum(boxes1[..., :, None, 3], boxes2[..., None, :, 3])
+        - jnp.maximum(boxes1[..., :, None, 1], boxes2[..., None, :, 1]),
+        0.0,
+    )
+    inter = iw * ih
     union = area1[..., :, None] + area2[..., None, :] - inter
     return (inter > threshold * union) & (union > 0)
 
