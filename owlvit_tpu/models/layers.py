@@ -284,6 +284,18 @@ def encoder(
             None,
         )
 
+    n_layers = jax.tree.leaves(stacked)[0].shape[0]
+    if n_layers <= 2:
+        # Unroll tiny stacks (the trainable TAIL is usually one layer):
+        # scan buys nothing at this length, and its backward is a loop
+        # context the pallas kernels otherwise execute inside — the r3
+        # fused dq+dk+dv kernel faults the device inside a scanned
+        # backward while running clean unrolled (numerics identical).
+        for i in range(n_layers):
+            layer_p = jax.tree.map(lambda a: a[i], stacked)
+            x, _ = body(x, layer_p) if not remat else jax.checkpoint(body)(x, layer_p)
+        return x
+
     if remat:
         body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, stacked)
