@@ -582,7 +582,8 @@ def _pk_dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref, bias_ref,
 
 
 def _pk_fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, bias_ref,
-                         dq_ref, dk_ref, dv_ref, *, scale, s_real, hg, hd):
+                         dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                         *, scale, s_real, hg, hd):
     """Fused dQ+dK+dV in ONE kernel (r3, VERDICT next #4a).
 
     The split backward runs two kernels that each rebuild the [BQ, S] score
@@ -593,20 +594,27 @@ def _pk_fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, bias_ref,
     and VMEM traffic.
 
     dk/dv are ACCUMULATED across the (sequential, innermost) query-block
-    grid dim into revisited [1, S_pad, lanes] fp32 output blocks — the
-    standard reduce-over-grid pattern; fp32 accumulators keep the partial
-    sums exact enough that the final bf16 cast matches the single-matmul
-    split kernels to ~1 ulp. Padded KEY columns contribute nothing (bias
-    row drives p to 0 -> their dk/dv rows stay 0); padded QUERY rows are
-    masked explicitly (their p is garbage — the pad lives outside the
-    layer scan, so their cotangents would leak into shared weight grads).
+    grid dim in fp32 VMEM SCRATCH and written to the HBM output blocks
+    ONCE, on the last query block — the canonical pallas reduction idiom.
+    (A first version accumulated directly into revisited fp32 output
+    blocks: it ran standalone but reproducibly faulted the device inside
+    the full train-step graph — r3 sessions, 3/3 — echoing the r1 lesson
+    that Mosaic block patterns can pass lowering and standalone runs yet
+    fault in composition. Scratch also lets the outputs be bf16 directly:
+    one cast at the end instead of 2x239 MB fp32 HBM writes + a cast
+    pass.) fp32 accumulation keeps the partial sums exact enough that the
+    final bf16 cast matches the single-matmul split kernels to ~1 ulp.
+    Padded KEY columns contribute nothing (bias row drives p to 0 ->
+    their dk/dv rows stay 0); padded QUERY rows are masked explicitly
+    (their p is garbage — the pad lives outside the layer scan, so their
+    cotangents would leak into shared weight grads).
     """
     i = pl.program_id(2)
 
     @pl.when(i == 0)
     def _init():
-        dk_ref[0] = jnp.zeros_like(dk_ref[0])
-        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
 
     q = q_ref[0]    # [BQ, lanes]
     k = k_ref[0]    # [S_pad, lanes]
@@ -654,8 +662,13 @@ def _pk_fused_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, bias_ref,
                                        (((0,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32))
     dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
-    dk_ref[0] += jnp.concatenate(dks, axis=-1)
-    dv_ref[0] += jnp.concatenate(dvs, axis=-1)
+    dk_acc[...] += jnp.concatenate(dks, axis=-1)
+    dv_acc[...] += jnp.concatenate(dvs, axis=-1)
+
+    @pl.when(i == pl.num_programs(2) - 1)
+    def _flush():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _transposed_bwd_from_packed(scale, s_real, H, hd, res, g):  # noqa: D401
@@ -719,11 +732,12 @@ def _pk_bwd(scale, s_real, H, hd, fast_softmax, res, g):
             bias = _key_bias_row(S_pad, s_real)
             bspec = pl.BlockSpec((1, S_pad), lambda b, g, i: (0, 0),
                                  memory_space=pltpu.VMEM)
-            # dk/dv accumulate across the sequential query-block dim into
-            # fp32 blocks revisited at every i (index map constant in i)
+            # dk/dv accumulate in fp32 VMEM scratch across the sequential
+            # query-block dim; the output block (index constant in i) is
+            # written once, on the last i
             accspec = pl.BlockSpec((1, S_pad, lanes), lambda b, g, i: (b, 0, g),
                                    memory_space=pltpu.VMEM)
-            dq, dkf, dvf = pl.pallas_call(
+            dq, dk, dv = pl.pallas_call(
                 functools.partial(
                     _pk_fused_bwd_kernel, scale=scale, s_real=s_real,
                     hg=hg, hd=hd,
@@ -734,12 +748,16 @@ def _pk_bwd(scale, s_real, H, hd, fast_softmax, res, g):
                 out_specs=[qspec, accspec, accspec],
                 out_shape=[
                     jax.ShapeDtypeStruct((B, S_pad, D), q2.dtype),
-                    jax.ShapeDtypeStruct((B, S_pad, D), jnp.float32),
-                    jax.ShapeDtypeStruct((B, S_pad, D), jnp.float32),
+                    jax.ShapeDtypeStruct((B, S_pad, D), k2.dtype),
+                    jax.ShapeDtypeStruct((B, S_pad, D), v2.dtype),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((S_pad, lanes), jnp.float32),
+                    pltpu.VMEM((S_pad, lanes), jnp.float32),
                 ],
                 interpret=_interpret(),
             )(q2, k2, v2, do2, o2, bias)
-            return dq, dkf.astype(k2.dtype), dvf.astype(v2.dtype)
+            return dq, dk, dv
         if mode != "both":
             dq_t, dk_t, dv_t = _transposed_bwd_from_packed(
                 scale, s_real, H, hd, (q2, k2, v2, o2, lse), do2
