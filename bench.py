@@ -165,15 +165,17 @@ def _build_cached(model_name, batch, dtype, trainable_last_k, n_classes=80,
     # independent, and the trainer auto-picks device store up to 10 GB).
     row_bytes = acts[0].nbytes
     pool = max(batch, min(2500, int(pool_bytes // row_bytes)))
-    # fill every pool row with REAL activations (tiled batch): an all-zeros
-    # row would hit the reference's q/||q|| quirk with ||q||=0 -> NaN sims,
-    # and NaN matcher costs can spin the JV while_loop indefinitely
-    reps = -(-pool // batch)
-    acts_all = jax.jit(
-        lambda a: jnp.tile(a, (reps, 1, 1))[:pool], donate_argnums=(0,)
-    )(acts)
+    acts_all = jnp.zeros((pool,) + acts.shape[1:], acts.dtype)
+    acts_all = acts_all.at[:batch].set(acts)
+    # gather only FILLED rows: an all-zeros row hits the reference's
+    # q/||q|| quirk with ||q||=0 -> NaN sims, and NaN matcher costs can
+    # spin the JV while_loop (hung this benchmark on CPU interpret). The
+    # gather cost depends on the pool and batch shapes, not on the index
+    # values, so restricting indices to [0, batch) measures the same thing.
+    # (A tiled full-pool fill was tried instead and faulted the TPU relay —
+    # the 2 GB tile + 2 GB slice transient is too much for it.)
     rng = np.random.default_rng(seed)
-    idxs = jnp.asarray(rng.integers(0, pool, (batch,), dtype=np.int64))
+    idxs = jnp.asarray(rng.integers(0, batch, (batch,), dtype=np.int64))
 
     gstep = jax.jit(tail_step_gather, donate_argnums=(0,))
     args = (acts_all, idxs, data["labels"], data["boxes"], data["gt_mask"])

@@ -92,6 +92,24 @@ def xla_attn(q2, k2, v2):
 
 
 def loss_of(attn_fn):
+    if args.get("scan") == "1":
+        # Reproduce the TRAIN-STEP structure: the trainable tail runs the
+        # kernel inside lax.scan (even at k=1), so its backward executes
+        # inside a scanned loop — where the r3 fused kernel faulted while
+        # running clean standalone. Inputs become scan xs (leading dim 1),
+        # exactly like stacked layer params.
+        def loss(q2, k2, v2):
+            xs = (q2[None], k2[None], v2[None])
+
+            def body(carry, x):
+                qq, kk, vv = x
+                return carry + attn_fn(qq, kk, vv).astype(jnp.float32), None
+
+            o, _ = jax.lax.scan(body, jnp.zeros(q2.shape, jnp.float32), xs)
+            return jnp.sum(o * w.astype(jnp.float32))
+
+        return loss
+
     def loss(q2, k2, v2):
         o = attn_fn(q2, k2, v2)
         return jnp.sum(o.astype(jnp.float32) * w.astype(jnp.float32))
@@ -117,23 +135,28 @@ t_start = time.time()
 try:
     results = {}
     variants = [
-        ("xla", xla_attn, None),
         ("hybrid", hybrid, None),
         ("packed", packed, "both"),    # split dq + dkv kernels
         ("fused", packed, "fused"),    # r3 single dq+dk+dv kernel
+        ("xla", xla_attn, None),       # last: heaviest compile (full scores)
     ]
+    if "only" in args:  # e.g. only=fused,packed
+        keep = set(args["only"].split(","))
+        variants = [v for v in variants if v[0] in keep]
     for name, impl, bwd_mode in variants:
         if bwd_mode is not None:
             os.environ["OWLVIT_PACKED_BWD"] = bwd_mode
             jax.clear_caches()  # bwd mode is read at trace time
+        print(f"compiling+running {name} ...", flush=True)
         loss, grads, dt = run_impl(loss_of(impl), q, k, v, w)
         results[name] = (loss, grads)
         rec[f"{name}_ms"] = round(dt * 1e3, 2)
         rec[f"{name}_loss"] = loss
         print(f"{name}: loss={loss:.6g} grad+fwd {dt*1e3:.1f} ms", flush=True)
 
-    for a, b in [("packed", "hybrid"), ("fused", "packed"), ("fused", "xla"),
-                 ("packed", "xla"), ("hybrid", "xla")]:
+    pairs = [("packed", "hybrid"), ("fused", "packed"), ("fused", "xla"),
+             ("packed", "xla"), ("hybrid", "xla")]
+    for a, b in [(a, b) for a, b in pairs if a in results and b in results]:
         ulps = [bf16_ulp_dist(ga, gb)
                 for ga, gb in zip(results[a][1], results[b][1])]
         rels = [

@@ -26,6 +26,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ["OWLVIT_PACKED_FLASH"] = args.get("packed", "1")  # match production default
 os.environ["OWLVIT_PACKED_BWD"] = args.get("bwd", "both")
 os.environ["OWLVIT_FUSED_LN"] = args.get("fused", "0")
+os.environ["OWLVIT_BCE_SHARED"] = args.get("bce", "0")
+if "matchmask" in args:  # r3 diagnostic: force-disable the padded-row skip
+    os.environ["OWLVIT_MATCH_SKIP"] = args["matchmask"]
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -207,14 +210,14 @@ try:
         # Pool sized to ~2 GB here (gather cost does not depend on pool size)
         # — the full reference recipe (2500 imgs, ~9.3 GB) fits v5e HBM.
         pool = max(batch, int(2e9 // host_acts[0].nbytes))
-        # tile REAL acts into every row: zero rows -> ||q||=0 -> NaN sims
-        # via the reference q/||q|| quirk -> JV while_loop can spin (this
-        # hung bench.py on CPU; don't risk it here either)
-        reps = -(-pool // batch)
-        acts_all = jax.jit(
-            lambda a: jnp.tile(a, (reps, 1, 1))[:pool]
-        )(acts)
-        idxs = jnp.asarray(rng.integers(0, pool, (batch,), dtype=np.int64))
+        acts_all = jnp.zeros((pool,) + acts.shape[1:], acts.dtype)
+        acts_all = acts_all.at[:batch].set(acts)
+        # gather only FILLED rows: zero rows -> ||q||=0 -> NaN sims via the
+        # reference q/||q|| quirk -> JV while_loop can spin (hung bench.py
+        # on CPU interpret); and a tiled full-pool fill faulted the relay
+        # (r3: 2 GB tile + 2 GB slice transient). Index VALUES don't change
+        # the gather cost — the shapes do.
+        idxs = jnp.asarray(rng.integers(0, batch, (batch,), dtype=np.int64))
 
         def gather_step(state, acts_all, idxs, labels, boxes, gt_mask):
             return tail_step(state, acts_all[idxs], labels, boxes, gt_mask)
