@@ -100,6 +100,7 @@ def attention(
     valid_len: Optional[int] = None,
     fast_softmax: bool = False,
     quantized: bool = False,
+    bwd_hint: Optional[str] = None,
 ) -> jnp.ndarray:
     """Multi-head self-attention. x: [B, S, D]; bias: additive [B, 1|H, S, S].
 
@@ -127,10 +128,11 @@ def attention(
         k2 = linear(p["k"], x, quantized)
         v2 = linear(p["v"], x, quantized)
         if packed_supported(num_heads, head_dim, D):
-            # fully transpose-free (experimental, see packed_supported)
+            # fully transpose-free; bwd_hint picks the backward kernel set
             o2 = flash_attention_packed(
                 q2, k2, v2, scale=scale, num_heads=num_heads,
                 valid_len=valid_len, fast_softmax=fast_softmax,
+                bwd_hint=bwd_hint,
             )
             return linear(p["out"], o2, quantized)
         if hybrid_supported(num_heads, head_dim, D):
@@ -211,11 +213,13 @@ def encoder_block(
     valid_len: Optional[int] = None,
     fast_softmax: bool = False,
     quantized: bool = False,
+    bwd_hint: Optional[str] = None,
 ) -> jnp.ndarray:
     h = layer_norm(p["ln1"], x, eps)
     h = attention(
         p["attn"], h, num_heads, bias=bias, causal=causal, impl=impl,
         valid_len=valid_len, fast_softmax=fast_softmax, quantized=quantized,
+        bwd_hint=bwd_hint,
     )
     x = x + h
     h = layer_norm(p["ln2"], x, eps)
@@ -264,6 +268,7 @@ def encoder(
             a = attention(
                 layer_p["attn"], y1, num_heads, impl=impl, valid_len=valid_len,
                 fast_softmax=fast_softmax, quantized=quantized,
+                bwd_hint="both",  # scanned context: see the note below
             )
             x2, y2 = add_ln(xi, a, layer_p["ln2"], eps)
             m = mlp(layer_p["mlp"], y2, quantized)
@@ -274,23 +279,30 @@ def encoder(
         (res, br), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), stacked)
         return res + br
 
+    n_layers = jax.tree.leaves(stacked)[0].shape[0]
+    # Packed-backward kernel choice (r3, measured on chip): the fused
+    # dq+dk+dv kernel is +23% on the unrolled tail step but reproducibly
+    # faults the device inside a full layer-in-scan backward (4/4; a bare
+    # scan repro runs clean, so the trigger is the composed layer graph).
+    # Unrolled stacks hint 'fused', scanned stacks hint 'both';
+    # OWLVIT_PACKED_BWD overrides either.
+    unrolled = n_layers <= 2
+
     def body(h, layer_p):
         return (
             encoder_block(
                 layer_p, h, num_heads, eps, bias=bias, causal=causal, impl=impl,
                 valid_len=valid_len, fast_softmax=fast_softmax,
                 quantized=quantized,
+                bwd_hint="fused" if unrolled else "both",
             ),
             None,
         )
 
-    n_layers = jax.tree.leaves(stacked)[0].shape[0]
-    if n_layers <= 2:
+    if unrolled:
         # Unroll tiny stacks (the trainable TAIL is usually one layer):
-        # scan buys nothing at this length, and its backward is a loop
-        # context the pallas kernels otherwise execute inside — the r3
-        # fused dq+dk+dv kernel faults the device inside a scanned
-        # backward while running clean unrolled (numerics identical).
+        # scan buys nothing at this length, and unrolling unlocks the
+        # fused backward kernel (numerics identical either way).
         for i in range(n_layers):
             layer_p = jax.tree.map(lambda a: a[i], stacked)
             x, _ = body(x, layer_p) if not remat else jax.checkpoint(body)(x, layer_p)

@@ -695,16 +695,26 @@ def _transposed_bwd_from_packed(scale, s_real, H, hd, res, g):  # noqa: D401
     return from3(dq3), from3(dk3), from3(dv3)
 
 
-def _pk_bwd_mode() -> str:
+def _pk_bwd_mode(hint: str | None = None) -> str:
     """Which packed-backward variant runs:
     'fused' — ONE dq+dk+dv kernel sharing the recomputed p (5 matmuls/
-    program vs 9 across the split pair);
-    'both' (default pending the on-chip A/B) — the r2 split pair (dq
-    kernel + transposed dkv kernel);
-    'dq'/'dkv' — diagnostic halves (isolating the r1 device fault)."""
+    program vs 9 across the split pair). +23% on the cached tail step
+    (428 vs 347 img/s with the unrolled tail, r3 on-chip A/B);
+    'both' — the r2 split pair (dq kernel + transposed dkv kernel);
+    'dq'/'dkv' — diagnostic halves (isolating the r1 device fault).
+
+    Mode resolution: the OWLVIT_PACKED_BWD env var wins when set (A/B
+    knob); otherwise the caller's `hint` (layers.encoder passes 'both'
+    for SCANNED stacks — the fused kernel reproducibly faulted the
+    device inside the full layer-in-scan backward, 4/4 r3 sessions,
+    while a bare scan repro and every unrolled composition run clean);
+    otherwise 'fused'."""
     import os
 
-    return os.environ.get("OWLVIT_PACKED_BWD", "both")
+    env = os.environ.get("OWLVIT_PACKED_BWD")
+    if env:
+        return env
+    return hint or "fused"
 
 
 def _check_differentiable(fast_softmax: bool) -> None:
@@ -718,9 +728,9 @@ def _check_differentiable(fast_softmax: bool) -> None:
         )
 
 
-def _pk_bwd(scale, s_real, H, hd, fast_softmax, res, g):
+def _pk_bwd(scale, s_real, H, hd, fast_softmax, bwd_hint, res, g):
     _check_differentiable(fast_softmax)
-    mode = _pk_bwd_mode()
+    mode = _pk_bwd_mode(bwd_hint)
 
     def core(q2, k2, v2, o2, lse, do2):
         B, S_pad, D = q2.shape
@@ -830,13 +840,15 @@ def _pk_bwd(scale, s_real, H, hd, fast_softmax, res, g):
     )(q2, k2, v2, o2, lse, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_packed(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash_packed(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False,
+                  bwd_hint=None):
     o, _ = _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax)
     return o
 
 
-def _flash_packed_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False):
+def _flash_packed_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False,
+                      bwd_hint=None):
     o, lse = _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax)
     return o, (q2, k2, v2, o, lse)
 
@@ -860,9 +872,12 @@ def packed_supported(num_heads: int, head_dim: int, D: int) -> bool:
 
 
 def flash_attention_packed(q2, k2, v2, *, scale, num_heads, valid_len=None,
-                           fast_softmax=False):
+                           fast_softmax=False, bwd_hint=None):
     """q2/k2/v2: [B, S, D] (D = H*hd), no layout change. S should already be
-    a BLOCK_Q multiple (vit.forward pads once); pads here otherwise."""
+    a BLOCK_Q multiple (vit.forward pads once); pads here otherwise.
+
+    bwd_hint: caller's packed-backward preference ('fused'/'both'); the
+    OWLVIT_PACKED_BWD env var overrides it (see _pk_bwd_mode)."""
     B, S, D = q2.shape
     hd = D // num_heads
     s_real = int(valid_len) if valid_len is not None else S
@@ -871,7 +886,8 @@ def flash_attention_packed(q2, k2, v2, *, scale, num_heads, valid_len=None,
     k2 = _pad_to(k2, S_pad, axis=1)
     v2 = _pad_to(v2, S_pad, axis=1)
     o = _flash_packed(
-        q2, k2, v2, float(scale), s_real, int(num_heads), hd, bool(fast_softmax)
+        q2, k2, v2, float(scale), s_real, int(num_heads), hd,
+        bool(fast_softmax), bwd_hint,
     )
     return o[:, :S]
 
