@@ -38,6 +38,12 @@ import os as _os
 BLOCK_Q = int(_os.environ.get("OWLVIT_BLOCK_Q", "128"))
 _NEG = -1e30
 
+# Longest padded sequence the FUSED backward kernel fits in VMEM for:
+# its full-row K/V blocks + fp32 dk/dv scratch + [BQ, S] intermediates
+# scale with S_pad — 18.16 MB at S_pad=3712 (L/14) vs the 16 MB scoped
+# limit (compile-time OOM, measured r3). 2432 (B/16) compiles and runs.
+_FUSED_MAX_S = int(_os.environ.get("OWLVIT_FUSED_MAX_S", "3072"))
+
 # Interpret mode runs the kernels in the Pallas interpreter (CPU tests).
 INTERPRET = False
 
@@ -737,8 +743,25 @@ def _pk_bwd(scale, s_real, H, hd, fast_softmax, bwd_hint, res, g):
         hg = _group_heads(H, hd)
         G = H // hg
         lanes = hg * hd
-        if mode == "fused":
-            qspec, kvspec = _pk_specs(S_pad, D, BLOCK_Q, lanes)
+        mode_eff = mode
+        # Fused-kernel query-block rows: [BQ, S] fp32 intermediates scale
+        # with BQ, so a smaller BQ trades grid steps for VMEM headroom at
+        # long sequences. OWLVIT_FUSED_BQ forces a value (e.g. 64 to try
+        # fused at L/14); default keeps BLOCK_Q.
+        bq = int(_os.environ.get("OWLVIT_FUSED_BQ", "0")) or BLOCK_Q
+        # fp32 inputs double the full-row K/V/do/o block footprint: bf16
+        # S_pad=2432 fits (measured) but f32 at the same S needs 17.84 MB
+        # (> the 16 MB scoped limit, r3 bench fp32-baseline compile OOM)
+        max_s = _FUSED_MAX_S if q2.dtype.itemsize <= 2 else _FUSED_MAX_S * 2 // 3
+        if mode == "fused" and S_pad > max_s and bq >= BLOCK_Q:
+            # The fused kernel holds full-row K/V + fp32 dk/dv scratch +
+            # [BQ, S] fp32 intermediates in VMEM: at L/14 (S_pad 3712 bf16)
+            # that is 18.16 MB against the 16 MB scoped-vmem limit
+            # (compile-time OOM, r3 measured). Fall back to the split pair
+            # beyond the measured-safe length (OWLVIT_FUSED_MAX_S overrides).
+            mode_eff = "both"
+        if mode_eff == "fused":
+            qspec, kvspec = _pk_specs(S_pad, D, bq, lanes)
             bias = _key_bias_row(S_pad, s_real)
             bspec = pl.BlockSpec((1, S_pad), lambda b, g, i: (0, 0),
                                  memory_space=pltpu.VMEM)
@@ -752,7 +775,7 @@ def _pk_bwd(scale, s_real, H, hd, fast_softmax, bwd_hint, res, g):
                     _pk_fused_bwd_kernel, scale=scale, s_real=s_real,
                     hg=hg, hd=hd,
                 ),
-                grid=(B, G, S_pad // BLOCK_Q),
+                grid=(B, G, S_pad // bq),
                 compiler_params=_pk_compiler_params(),
                 in_specs=[qspec, kvspec, kvspec, qspec, qspec, bspec],
                 out_specs=[qspec, accspec, accspec],
@@ -768,7 +791,7 @@ def _pk_bwd(scale, s_real, H, hd, fast_softmax, bwd_hint, res, g):
                 interpret=_interpret(),
             )(q2, k2, v2, do2, o2, bias)
             return dq, dk, dv
-        if mode != "both":
+        if mode_eff != "both":
             dq_t, dk_t, dv_t = _transposed_bwd_from_packed(
                 scale, s_real, H, hd, (q2, k2, v2, o2, lse), do2
             )
@@ -799,7 +822,7 @@ def _pk_bwd(scale, s_real, H, hd, fast_softmax, bwd_hint, res, g):
         bias = _key_bias_row(S_pad, s_real)
         bspec2 = pl.BlockSpec((1, S_pad), lambda b, g, i: (0, 0),
                               memory_space=pltpu.VMEM)
-        if mode in ("both", "dq"):
+        if mode_eff in ("both", "dq"):
             dq = pl.pallas_call(
                 functools.partial(_pk_dq_kernel, scale=scale, hg=hg, hd=hd),
                 grid=(B, G, S_pad // BLOCK_Q),
@@ -812,7 +835,7 @@ def _pk_bwd(scale, s_real, H, hd, fast_softmax, bwd_hint, res, g):
         else:
             dq = dq_t
 
-        if mode in ("both", "dkv"):
+        if mode_eff in ("both", "dkv"):
             dk, dv = pl.pallas_call(
                 functools.partial(
                     _pk_dkv_kernel, scale=scale, s_real=s_real, hg=hg, hd=hd

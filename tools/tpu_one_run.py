@@ -137,104 +137,21 @@ try:
         )
     elif args.get("cached") == "1":
         # Frozen-backbone activation-cache steady state: epochs >= 2 run
-        # prefix-free (trainer._train_one_batch). Measures the tail step
-        # twice — acts resident on device, and with the per-step H2D
-        # transfer a real cached epoch pays (acts stream from the memmap).
-        import optax
+        # prefix-free (trainer._train_one_batch). Shared implementation
+        # with bench.py (owlvit_tpu/utils/bench_cached.py) so the driver
+        # benchmark and this tool measure identical graphs.
+        from owlvit_tpu.utils.bench_cached import measure_cached_steady_state
 
-        from owlvit_tpu.models import get_config, owlvit
-        from owlvit_tpu.ops import losses as loss_ops
-        from owlvit_tpu.ops.preprocess import normalize_image
-        from owlvit_tpu.train.state import TrainState, combine_params, partition_params
-        import numpy as np
-
-        cfg = get_config(model, dtype=dtype, trainable_last_k=k or 1)
-        n_classes = 80
-        params = owlvit.init(jax.random.PRNGKey(0), cfg, num_queries=3 * n_classes)
-        trainable, frozen = partition_params(params, k or 1)
-        tx = optax.adamw(3e-6, weight_decay=0.1)
-        state = TrainState(trainable, frozen, tx.init(trainable), jnp.int32(0))
-        G, S = 16, cfg.vision.image_size
-        rng = np.random.default_rng(0)
-        data = {
-            "image": jnp.asarray(rng.integers(0, 255, (batch, S, S, 3), dtype=np.uint8)),
-            "boxes": jnp.asarray(np.tile([[0.2, 0.2, 0.6, 0.7]], (batch, G, 1)).astype(np.float32)),
-            "labels": jnp.asarray(rng.integers(0, n_classes, (batch, G), dtype=np.int32)),
-            "gt_mask": jnp.asarray(np.tile(np.arange(G) < 8, (batch, 1))),
-        }
-
-        def prefix_step(trainable, frozen, images):
-            p = combine_params(trainable, frozen)
-            return owlvit.embed_prefix(p, cfg, normalize_image(images))
-
-        def tail_step(state, acts, labels, boxes, gt_mask):
-            def loss_fn(trainable):
-                p = combine_params(trainable, state.frozen)
-                pb, sims = owlvit.forward_train_from_prefix(p, cfg, acts)
-                terms = loss_ops.push_pull_loss(
-                    sims, pb, labels, boxes, gt_mask, n_classes
-                )
-                return loss_ops.total_loss(terms), terms
-
-            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.trainable
-            )
-            updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
-            return (
-                TrainState(
-                    optax.apply_updates(state.trainable, updates),
-                    state.frozen, opt_state, state.step + 1,
-                ),
-                loss,
-            )
-
-        pstep = jax.jit(prefix_step)
-        tstep = jax.jit(tail_step, donate_argnums=(0,))
-        acts = pstep(state.trainable, state.frozen, data["image"])
-        jax.block_until_ready(acts)
-        host_acts = jax.device_get(acts)
-        rec["acts_mb"] = round(host_acts.nbytes / 1e6, 1)
-        la, bo, gm = data["labels"], data["boxes"], data["gt_mask"]
-
-        state, loss = tstep(state, acts, la, bo, gm)  # compile
-        jax.block_until_ready(loss)
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, loss = tstep(state, acts, la, bo, gm)
-        jax.block_until_ready(loss)
-        dt = time.perf_counter() - t0
-        rec["tail_imgs_per_sec"] = round(steps * batch / dt, 2)
-
-        # Device-store steady state (trainer.tail_step_gather): acts for a
-        # pool of images live in HBM; each step gathers its batch rows.
-        # Pool sized to ~2 GB here (gather cost does not depend on pool size)
-        # — the full reference recipe (2500 imgs, ~9.3 GB) fits v5e HBM.
-        pool = max(batch, int(2e9 // host_acts[0].nbytes))
-        acts_all = jnp.zeros((pool,) + acts.shape[1:], acts.dtype)
-        acts_all = acts_all.at[:batch].set(acts)
-        # gather only FILLED rows: zero rows -> ||q||=0 -> NaN sims via the
-        # reference q/||q|| quirk -> JV while_loop can spin (hung bench.py
-        # on CPU interpret); and a tiled full-pool fill faulted the relay
-        # (r3: 2 GB tile + 2 GB slice transient). Index VALUES don't change
-        # the gather cost — the shapes do.
-        idxs = jnp.asarray(rng.integers(0, batch, (batch,), dtype=np.int64))
-
-        def gather_step(state, acts_all, idxs, labels, boxes, gt_mask):
-            return tail_step(state, acts_all[idxs], labels, boxes, gt_mask)
-
-        gstep = jax.jit(gather_step, donate_argnums=(0,))
-        state, loss = gstep(state, acts_all, idxs, la, bo, gm)  # compile
-        jax.block_until_ready(loss)
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, loss = gstep(state, acts_all, idxs, la, bo, gm)
-        jax.block_until_ready(loss)
-        dt = time.perf_counter() - t0
+        c = measure_cached_steady_state(
+            model, batch, steps, dtype=dtype, trainable_last_k=k or 1
+        )
         rec.update(
-            imgs_per_sec=round(steps * batch / dt, 2),
-            loss=float(loss),
+            acts_mb=c["acts_mb"],
+            tail_imgs_per_sec=c["tail_imgs_per_sec"],
+            imgs_per_sec=c["gather_imgs_per_sec"],
+            loss=c["loss"],
             compile_secs=round(time.time() - t, 1),
-            pool_imgs=pool,
+            pool_imgs=c["pool_imgs"],
             ok=True,
         )
     else:
