@@ -33,6 +33,9 @@ if "matchmask" in args:  # r3 diagnostic: force-disable the padded-row skip
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+if args.get("cpu") == "1":  # CPU smoke-testing of a mode (axon overrides env)
+    jax.config.update("jax_platforms", "cpu")
+
 rec = {"name": name, **{k2: v for k2, v in args.items()}}
 t0 = time.time()
 try:
@@ -132,6 +135,95 @@ try:
         dt = time.perf_counter() - t0
         rec.update(
             imgs_per_sec=round(steps * batch / dt, 2),
+            compile_secs=round(time.time() - t, 1),
+            ok=True,
+        )
+    elif args.get("quantdrift") == "1":
+        # int8 accuracy probe WITHOUT training noise: same weights, same
+        # images, two jitted forwards (quant_backbone on/off is a config
+        # flag, so both arms live in one process). Reports elementwise
+        # drift of (sims, boxes) AND an agreement mAP — the int8 arm's
+        # detections scored against the bf16 arm's detections as pseudo-GT
+        # (mAP=1.0 means int8 changes no detection above threshold).
+        import numpy as np
+
+        from owlvit_tpu.models import get_config, owlvit
+        from owlvit_tpu.ops import nms as nms_ops
+        from owlvit_tpu.ops.map_metric import MeanAveragePrecision
+        from owlvit_tpu.ops.preprocess import normalize_image
+
+        n_classes = 80
+        cfg0 = get_config(model, dtype=dtype, trainable_last_k=1,
+                          quant_backbone=False)
+        cfg1 = cfg0.replace(quant_backbone=True)
+        params = owlvit.init(jax.random.PRNGKey(0), cfg0,
+                             num_queries=3 * n_classes)
+        S = cfg0.vision.image_size
+        rng = np.random.default_rng(int(args.get("seed", "0")))
+        images = jnp.asarray(
+            rng.integers(0, 255, (batch, S, S, 3), dtype=np.uint8)
+        )
+
+        def fwd(cfg):
+            def f(params, images):
+                return owlvit.forward_train(
+                    params, cfg, normalize_image(images)
+                )
+            return jax.jit(f)
+
+        b0, s0 = fwd(cfg0)(params, images)
+        jax.block_until_ready(s0)
+        b1, s1 = fwd(cfg1)(params, images)
+        jax.block_until_ready(s1)
+        b0n, s0n = np.asarray(b0, np.float32), np.asarray(s0, np.float32)
+        b1n, s1n = np.asarray(b1, np.float32), np.asarray(s1, np.float32)
+        rec["sims_max_abs_drift"] = round(float(np.abs(s1n - s0n).max()), 6)
+        rec["sims_mean_abs_drift"] = round(float(np.abs(s1n - s0n).mean()), 6)
+        rec["boxes_max_abs_drift"] = round(float(np.abs(b1n - b0n).max()), 6)
+
+        post = lambda b, s: nms_ops.postprocess(
+            b, s, confidence_threshold=0.01, iou_threshold=0.6, top_k=200
+        )
+        scalev = np.array([S, S, S, S], np.float64)
+
+        def agreement(oa, ob):
+            """mAP of arm-a detections against arm-b detections as GT."""
+            m = MeanAveragePrecision(n_classes)
+            for i in range(batch):
+                ka, kb = oa["valid"][i], ob["valid"][i]
+                m.update(
+                    oa["boxes"][i][ka] * scalev, oa["scores"][i][ka],
+                    oa["classes"][i][ka],
+                    ob["boxes"][i][kb] * scalev, ob["classes"][i][kb],
+                )
+            return m.compute()
+
+        o0 = {k2: np.asarray(v) for k2, v in post(b0, s0).items()}
+        o1 = {k2: np.asarray(v) for k2, v in post(b1, s1).items()}
+        agg = agreement(o1, o0)
+        rec.update(
+            agreement_map=round(float(agg["map"]), 4),
+            agreement_map_50=round(float(agg["map_50"]), 4),
+            n_det_bf16=int(o0["valid"].sum()),
+            n_det_int8=int(o1["valid"].sum()),
+        )
+
+        # NOISE FLOOR control: bf16 (no quant) vs fp32 — random-init
+        # detections are a wall of near-threshold ties, so even pure
+        # precision noise reorders them; int8's agreement only means
+        # something relative to this floor.
+        cfg_f32 = get_config(model, dtype="float32", trainable_last_k=1)
+        bf, sf = fwd(cfg_f32)(params, images)
+        jax.block_until_ready(sf)
+        sfn = np.asarray(sf, np.float32)
+        rec["bf16_sims_mean_abs_drift_vs_f32"] = round(
+            float(np.abs(s0n - sfn).mean()), 6
+        )
+        of = {k2: np.asarray(v) for k2, v in post(bf, sf).items()}
+        floor = agreement(o0, of)
+        rec.update(
+            floor_map=round(float(floor["map"]), 4),
+            floor_map_50=round(float(floor["map_50"]), 4),
             compile_secs=round(time.time() - t, 1),
             ok=True,
         )
