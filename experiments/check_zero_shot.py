@@ -119,10 +119,35 @@ def main():
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        fig, ax = plt.subplots(figsize=(6, 5))
+        # Three panels, mirroring the reference notebook's visual story
+        # (UMAP 3-D scatter + detections): 2-D embedding scatter, 3-D
+        # embedding scatter (PCA stands in for UMAP offline), and the
+        # input image with detected boxes overlaid.
+        proj3 = pca(embeds, 3)
+        fig = plt.figure(figsize=(16, 5))
+        ax = fig.add_subplot(1, 3, 1)
         ax.scatter(proj[:, 0], proj[:, 1], c=assign, s=8, cmap="tab10")
-        ax.set_title("per-patch class embeddings (PCA), k-means colored")
+        ax.set_title("per-patch class embeddings (PCA-2), k-means colored")
+        ax3 = fig.add_subplot(1, 3, 2, projection="3d")
+        ax3.scatter(proj3[:, 0], proj3[:, 1], proj3[:, 2],
+                    c=assign, s=6, cmap="tab10")
+        ax3.set_title("PCA-3 (reference used UMAP-3)")
+        axi = fig.add_subplot(1, 3, 3)
+        axi.imshow(arr)
+        keep = np.asarray(out["valid"][0])
+        det_boxes = np.asarray(out["boxes"][0])[keep] * size
+        det_scores = np.asarray(out["scores"][0])[keep]
+        for bx, sc in zip(det_boxes, det_scores):
+            axi.add_patch(plt.Rectangle(
+                (bx[0], bx[1]), bx[2] - bx[0], bx[3] - bx[1],
+                fill=False, edgecolor="lime", linewidth=1.5,
+            ))
+            axi.text(bx[0], bx[1] - 2, f"{sc:.2f}", color="lime", fontsize=7)
+        axi.set_title(f"{int(keep.sum())} detections")
+        axi.axis("off")
+        fig.tight_layout()
         fig.savefig(args.out.replace(".json", ".png"), dpi=120)
+        print(f"figure: {args.out.replace('.json', '.png')}")
     except ImportError:
         pass
 
