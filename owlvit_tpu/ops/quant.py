@@ -21,10 +21,16 @@ function inputs (not constants), and the per-step quantize cost over all
 frozen weights is ~0.2 ms — this avoids any parameter-pytree surgery and
 keeps checkpoints/sharding unchanged.
 
-CAVEAT (why this is opt-in, `OWLVIT_QUANT_BACKBONE=1`): int8 still changes
-numerics — validate mAP on your data before enabling in training runs.
-Gradients are undefined through the rounding — the frozen prefix is
-the only sanctioned call site (mirrors fast_softmax's contract).
+CAVEAT — EXPERIMENTAL, fails its drift gate (r3 measured, BENCH.md):
+even with per-token scales, the deterministic agreement probe shows int8
+detections diverging from bf16 far beyond the bf16-vs-fp32 noise floor
+(agreement mAP 0.367 vs floor 0.746 at B/16 b32; sims drift 3.1× the
+bf16 floor). The 90-epoch training A/B is INCONCLUSIVE at 3 seeds (one
+seed strongly favors off, one favors on, one silent — the synthetic
+probe's mAP is too high-variance to resolve the effect). Keep
+`OWLVIT_QUANT_BACKBONE` OFF unless you have validated mAP on your own
+data. Gradients are undefined through the rounding — the frozen prefix
+is the only sanctioned call site (mirrors fast_softmax's contract).
 """
 
 from __future__ import annotations

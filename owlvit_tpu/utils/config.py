@@ -79,7 +79,7 @@ class ModelConfig:
     dtype: str = "float32"  # or "bfloat16"
     attention_impl: str = "auto"
     remat: bool = False
-    quant_backbone: bool = False  # int8 frozen backbone (measured +6.4%; numerics change)
+    quant_backbone: bool = False  # int8 frozen backbone — EXPERIMENTAL: +6.4% but fails the r3 drift gate (BENCH.md); validate mAP before enabling
     trainable_last_k: int = 1
     prompts_per_class: int = 3
     clip_vocab: Optional[str] = None  # vocab.json path (real CLIP BPE)
