@@ -92,12 +92,29 @@ def main():
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
+        # Two panels mirroring the reference notebook's visual story (a
+        # labeled 3-D UMAP/plotly scatter): PCA-2 with class-name labels
+        # at each class centroid, and a PCA-3 3-D scatter (PCA stands in
+        # for UMAP offline; hover labels become static centroid text).
+        classes = np.arange(len(bank)) // 3
+        names = list(labelmap.values())
         proj = pca(bank, 2)
-        fig, ax = plt.subplots(figsize=(7, 6))
-        ax.scatter(proj[:, 0], proj[:, 1],
-                   c=np.arange(len(proj)) // 3, s=10, cmap="hsv")
-        ax.set_title("class-prompt text embeddings (PCA), colored by class")
+        proj3 = pca(bank, 3)
+        fig = plt.figure(figsize=(14, 6))
+        ax = fig.add_subplot(1, 2, 1)
+        ax.scatter(proj[:, 0], proj[:, 1], c=classes, s=10, cmap="hsv")
+        label_every = max(1, len(names) // 20)  # keep the panel readable
+        for ci in range(0, len(names), label_every):
+            cx, cy = proj[classes == ci].mean(0)
+            ax.annotate(names[ci], (cx, cy), fontsize=6, alpha=0.8)
+        ax.set_title("class-prompt text embeddings (PCA-2), class labels")
+        ax3 = fig.add_subplot(1, 2, 2, projection="3d")
+        ax3.scatter(proj3[:, 0], proj3[:, 1], proj3[:, 2],
+                    c=classes, s=8, cmap="hsv")
+        ax3.set_title("PCA-3 (reference used UMAP-3 + plotly hover)")
+        fig.tight_layout()
         fig.savefig(args.out.replace(".json", ".png"), dpi=120)
+        print(f"figure: {args.out.replace('.json', '.png')}")
     except ImportError:
         pass
 

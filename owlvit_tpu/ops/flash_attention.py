@@ -756,10 +756,19 @@ def _pk_bwd(scale, s_real, H, hd, fast_softmax, bwd_hint, res, g):
         if mode == "fused" and S_pad > max_s and bq >= BLOCK_Q:
             # The fused kernel holds full-row K/V + fp32 dk/dv scratch +
             # [BQ, S] fp32 intermediates in VMEM: at L/14 (S_pad 3712 bf16)
-            # that is 18.16 MB against the 16 MB scoped-vmem limit
-            # (compile-time OOM, r3 measured). Fall back to the split pair
-            # beyond the measured-safe length (OWLVIT_FUSED_MAX_S overrides).
-            mode_eff = "both"
+            # that is 18.16 MB against the 16 MB scoped-vmem limit at
+            # BQ=128 (compile-time OOM, r3 measured). For bf16 inputs,
+            # HALVING the query block halves the [BQ, S] terms and fits:
+            # measured at L/14 — kernel parity clean (max-rel ≤ bf16 eps),
+            # standalone fastest (fused 39.2 ms vs split 43.1 b2), cached
+            # tail step +1.5% resident / neutral gather vs the split pair,
+            # loss bit-identical (r3 A/B r3_l14_tail_{ctrl,fused64}). fp32
+            # keeps the split fallback: its full-row K/V/do/o blocks
+            # dominate the budget and BQ=64 there is unmeasured.
+            if q2.dtype.itemsize <= 2 and S_pad <= 2 * _FUSED_MAX_S:
+                bq = BLOCK_Q // 2
+            else:
+                mode_eff = "both"
         if mode_eff == "fused":
             qspec, kvspec = _pk_specs(S_pad, D, bq, lanes)
             bias = _key_bias_row(S_pad, s_real)
