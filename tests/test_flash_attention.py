@@ -282,3 +282,56 @@ def test_fast_softmax_refuses_differentiation(rng):
         )
     finally:
         os.environ.pop("OWLVIT_FAST_SOFTMAX", None)
+
+
+def test_fused_bq_halving_gate(rng, monkeypatch):
+    """r3 gate: at bf16 with S_pad beyond the fused VMEM ceiling the packed
+    backward HALVES the query block and stays fused (validated on chip at
+    L/14, BENCH.md r3); fp32 at the same length falls back to the split
+    pair. Ceiling monkeypatched down so tiny shapes exercise both branches;
+    a spy on the fused kernel observes which path traced."""
+    import owlvit_tpu.ops.flash_attention as fa
+
+    monkeypatch.setenv("OWLVIT_PACKED_FLASH", "1")
+    monkeypatch.setenv("OWLVIT_PACKED_BWD", "fused")
+    monkeypatch.setattr(fa, "_FUSED_MAX_S", 128)
+    B, S, H, hd = 1, 256, 2, 64  # S_pad 256 > 128 (gate), <= 2*128 (halve)
+    D = H * hd
+    scale = hd**-0.5
+    q2, k2, v2 = (rng.normal(size=(B, S, D)).astype(np.float32) for _ in range(3))
+    co = rng.normal(size=(B, S, D)).astype(np.float32)
+
+    def loss(q, k, v):
+        o = fa.flash_attention_packed(q, k, v, scale=scale, num_heads=H)
+        return jnp.sum(o.astype(jnp.float32) * jnp.asarray(co))
+
+    def ref_loss(q, k, v):
+        o = ref_attention(
+            q.reshape(B, S, H, hd), k.reshape(B, S, H, hd),
+            v.reshape(B, S, H, hd), scale,
+        )
+        return jnp.sum(o.reshape(B, S, D).astype(jnp.float32) * jnp.asarray(co))
+
+    called = {}
+    real_kernel = fa._pk_fused_bwd_kernel
+
+    def spy(*a, **kw):
+        called["fused"] = True
+        return real_kernel(*a, **kw)
+
+    monkeypatch.setattr(fa, "_pk_fused_bwd_kernel", spy)
+
+    bf = [jnp.asarray(x, jnp.bfloat16) for x in (q2, k2, v2)]
+    g_b = jax.grad(loss, argnums=(0, 1, 2))(*bf)
+    assert called.get("fused"), "bf16 long-S must stay on the fused kernel"
+    g_r = jax.grad(ref_loss, argnums=(0, 1, 2))(*bf)
+    for a, b, n in zip(g_b, g_r, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=5e-2, atol=5e-2, err_msg=n,
+        )
+
+    called.clear()
+    f32 = [jnp.asarray(x) for x in (q2, k2, v2)]
+    jax.grad(loss, argnums=(0, 1, 2))(*f32)
+    assert "fused" not in called, "fp32 long-S must fall back to the split pair"
