@@ -95,6 +95,69 @@ try:
             compile_secs=round(time.time() - t, 1),
             ok=True,
         )
+    elif args.get("gatherprobe") == "1":
+        # Act-pool gather lowering A/B (r3): the cached-tail GATHER step is
+        # ~6 ms/step slower than acts-resident at b32 (119.5 MB batch ->
+        # ~40 GB/s effective, far below HBM peak), so the gather's XLA
+        # lowering is suspect. Measure the gather ALONE in four lowerings:
+        # random int64 idxs (status quo: acts_all[idxs]), sorted idxs with
+        # indices_are_sorted+unique (exact for the trainer: batch loss is
+        # permutation-invariant, labels ride the same permutation), int32
+        # idxs, and the contiguous dynamic-slice lower bound.
+        import numpy as np
+
+        from jax import lax
+
+        from owlvit_tpu.models import get_config
+
+        cfg = get_config(model, dtype=dtype)
+        P1 = cfg.vision.num_patches + 1
+        S_pad = -(-P1 // 128) * 128
+        D = cfg.vision.hidden_size
+        row_mb = S_pad * D * 2 / 1e6
+        pool = max(batch, int(2e9 // (row_mb * 1e6)))
+        x = jnp.zeros((pool, S_pad, D), jnp.bfloat16)
+        rng = np.random.default_rng(0)
+        idx_np = rng.choice(pool, size=batch, replace=False)
+        variants = {
+            "random_i64": (
+                jax.jit(lambda x, i: x[i]),
+                jnp.asarray(idx_np, jnp.int64),
+            ),
+            "sorted_i64": (
+                jax.jit(
+                    lambda x, i: jnp.take(
+                        x, i, axis=0, indices_are_sorted=True,
+                        unique_indices=True,
+                    )
+                ),
+                jnp.asarray(np.sort(idx_np), jnp.int64),
+            ),
+            "random_i32": (
+                jax.jit(lambda x, i: x[i]),
+                jnp.asarray(idx_np, jnp.int32),
+            ),
+            "slice_bound": (
+                jax.jit(
+                    lambda x, i: lax.dynamic_slice_in_dim(x, i[0], batch, 0)
+                ),
+                jnp.asarray([7], jnp.int32),
+            ),
+        }
+        for vname, (fn, idxs) in variants.items():
+            out = fn(x, idxs)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                out = fn(x, idxs)
+            jax.block_until_ready(out)
+            ms = (time.perf_counter() - t0) / steps * 1e3
+            rec[vname + "_ms"] = round(ms, 3)
+            rec[vname + "_gbps"] = round(batch * row_mb / ms, 1)
+        rec.update(
+            batch_mb=round(batch * row_mb, 1), pool_rows=int(pool),
+            compile_secs=round(time.time() - t, 1), ok=True,
+        )
     elif args.get("infer") == "1":
         # Serving path: uint8 batch -> normalize -> forward -> NMS postprocess
         # (the eval/infer graph, trainer.eval_step equivalent).
