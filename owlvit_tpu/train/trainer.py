@@ -601,13 +601,21 @@ class Trainer:
                 print(f"profiler trace (short epoch): {t.profile_dir}", flush=True)
 
             train_metrics = acc.means()
-            val_metrics = self.evaluate(epoch=epoch)
-            last_val = val_metrics
-
-            for i, name in sorted(self.labelmap.items()):
-                class_maps[name].append(float(val_metrics["map_per_class"][i]))
-            with open(os.path.join(self.workdir, "class_maps.json"), "w") as f:
-                json.dump(class_maps, f)
+            run_eval = (
+                (epoch + 1) % max(1, t.eval_every_epochs) == 0
+                or epoch == t.n_epochs - 1
+            )
+            val_metrics = self.evaluate(epoch=epoch) if run_eval else {}
+            if run_eval:
+                last_val = val_metrics
+                for i, name in sorted(self.labelmap.items()):
+                    class_maps[name].append(
+                        float(val_metrics["map_per_class"][i])
+                    )
+                with open(
+                    os.path.join(self.workdir, "class_maps.json"), "w"
+                ) as f:
+                    json.dump(class_maps, f)
 
             progress.update(epoch, train_metrics, val_metrics)
             progress.print()

@@ -9,6 +9,7 @@ sections with defaults, unknown-key errors, and reference-compatible names
 from __future__ import annotations
 
 import dataclasses
+import typing
 from typing import Optional
 
 import yaml
@@ -49,6 +50,11 @@ class TrainingConfig:
     seed: int = 0
     checkpoint_dir: Optional[str] = None
     checkpoint_every_epochs: int = 1
+    # Run the val-set eval (mAP epoch) every N epochs. Default 1 matches the
+    # reference (main.py evaluates after every train epoch); the final epoch
+    # always evaluates. Raising this speeds recipes whose cached tail epochs
+    # are shorter than the eval pass (e.g. the L/14 cached fine-tune).
+    eval_every_epochs: int = 1
     log_file: Optional[str] = "metrics.jsonl"
     top_k: int = 200
     profile_dir: Optional[str] = None  # jax.profiler trace of train steps
@@ -98,7 +104,22 @@ def _build(cls, section: dict, name: str):
     unknown = set(section) - fields
     if unknown:
         raise ValueError(f"unknown keys in config section '{name}': {sorted(unknown)}")
-    return cls(**section)
+    # YAML 1.1 parses bare scientific notation ("1e-4", no dot) as a STRING
+    # and ints where floats are declared — coerce scalars to the declared
+    # field type so configs written like the reference's (`lr: 3e-6`) work.
+    hints = typing.get_type_hints(cls)
+    coerced = {}
+    for k, v in section.items():
+        t = hints.get(k)
+        if typing.get_origin(t) is typing.Union:
+            args = [a for a in typing.get_args(t) if a is not type(None)]
+            t = args[0] if len(args) == 1 else None
+        if t is float and isinstance(v, (int, str)) and not isinstance(v, bool):
+            v = float(v)
+        elif t is int and isinstance(v, str):
+            v = int(v)
+        coerced[k] = v
+    return cls(**coerced)
 
 
 def load_config(path: str) -> Config:

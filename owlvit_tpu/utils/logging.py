@@ -48,11 +48,18 @@ class ProgressFormatter:
         self.start = time.time()
 
     def update(self, epoch: int, train_metrics: dict, val_metrics: dict) -> None:
+        # val_metrics may be {} on epochs where eval was skipped
+        # (training.eval_every_epochs > 1): show "-" in the mAP columns.
         def lms(prefix):
+            if not val_metrics:
+                return "-"
             return "/".join(
                 str(round(float(val_metrics[f"{prefix}_{s}"]), 2))
                 for s in ("large", "medium", "small")
             )
+
+        def val(key):
+            return round(float(val_metrics[key]), 3) if val_metrics else "-"
 
         self.rows.append(
             (
@@ -64,8 +71,8 @@ class ProgressFormatter:
                     + train_metrics.get("loss_giou", 0.0),
                     5,
                 ),
-                round(float(val_metrics["map"]), 3),
-                round(float(val_metrics["map_50"]), 3),
+                val("map"),
+                val("map_50"),
                 lms("map"),
                 lms("mar"),
                 str(timedelta(seconds=int(time.time() - self.start))),

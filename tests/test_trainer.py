@@ -1,5 +1,6 @@
 """End-to-end trainer smoke tests on the tiny config + synthetic data (CPU)."""
 
+import json
 import os
 
 import jax
@@ -355,3 +356,41 @@ def test_partial_clip_vocab_config_refuses(tmp_path):
     )
     with pytest.raises(ValueError, match="clip_vocab and model.clip_merges"):
         Trainer(c, workdir=str(tmp_path))
+
+
+def test_eval_every_epochs(tmp_path, monkeypatch):
+    """training.eval_every_epochs=2 skips the mAP epoch on off epochs but
+    always evaluates the final one; skipped epochs render '-' columns."""
+    root = str(tmp_path)
+    cfg = Config(
+        data=DataConfig(
+            synthetic_root=os.path.join(root, "synth"),
+            num_train_images=8,
+            num_test_images=4,
+            max_gt=8,
+            synthetic_classes=3,
+        ),
+        training=TrainingConfig(
+            n_epochs=3,
+            learning_rate=1e-4,
+            batch_size=4,
+            eval_every_epochs=2,
+            top_k=16,
+        ),
+        model=ModelConfig(name="tiny", trainable_last_k=1),
+    )
+    trainer = Trainer(cfg, workdir=root)
+    evaluated = []
+    real_eval = trainer.evaluate
+
+    def spy(epoch=None):
+        evaluated.append(epoch)
+        return real_eval(epoch=epoch)
+
+    trainer.evaluate = spy
+    metrics = trainer.run()
+    assert evaluated == [1, 2]  # epoch 0 skipped; final always evaluated
+    assert "map" in metrics
+    with open(os.path.join(root, "class_maps.json")) as f:
+        per_class = json.load(f)
+    assert all(len(v) == 2 for v in per_class.values())
