@@ -6,6 +6,7 @@ ad-hoc). Here: subcommands for the full lifecycle.
     python -m owlvit_tpu.cli train --config config.yaml
     python -m owlvit_tpu.cli eval --config config.yaml
     python -m owlvit_tpu.cli infer --config config.yaml --image img.png
+    python -m owlvit_tpu.cli serve --config config.yaml --port 8750
     python -m owlvit_tpu.cli make-synthetic --root /tmp/synth
     python -m owlvit_tpu.cli make-coco-subset --config config.yaml
     python -m owlvit_tpu.cli convert --model b32 --src <hf-name-or-dir> --out p.npz
@@ -166,6 +167,35 @@ def _cmd_export(args):
     print(f"wrote {args.out} ({len(blob)} bytes)")
 
 
+def _cmd_serve(args):
+    """Serve detections over HTTP with dynamic request batching (serve.py)."""
+    from aiohttp import web
+
+    from owlvit_tpu.serve import DetectorServer, make_app
+    from owlvit_tpu.train import Trainer
+    from owlvit_tpu.train.state import combine_params
+    from owlvit_tpu.utils.config import load_config
+
+    cfg = load_config(args.config)
+    trainer = Trainer(cfg, workdir=args.workdir)
+    params = combine_params(trainer.state.trainable, trainer.state.frozen)
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+    server = DetectorServer(
+        params, trainer.model_cfg, buckets=buckets,
+        max_delay_ms=args.max_delay_ms,
+        confidence_threshold=cfg.training.confidence_threshold,
+        iou_threshold=cfg.training.iou_threshold,
+        top_k=cfg.training.top_k,
+    )
+    print(f"serving {cfg.model.name} on {args.host}:{args.port} "
+          f"buckets={buckets} max_delay_ms={args.max_delay_ms}", flush=True)
+    try:
+        web.run_app(make_app(server, trainer.labelmap),
+                    host=args.host, port=args.port)
+    finally:
+        server.close()
+
+
 def _cmd_convert(args):
     """Offline HF -> npz conversion (torch/transformers allowed here only)."""
     from transformers import OwlViTForObjectDetection
@@ -223,6 +253,17 @@ def main(argv=None):
     sp.add_argument("--weightless", action="store_true",
                     help="export the graph only; bind weights at load time")
     sp.set_defaults(fn=_cmd_export)
+
+    sp = sub.add_parser("serve")
+    sp.add_argument("--config", required=True)
+    sp.add_argument("--workdir", default=".")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8750)
+    sp.add_argument("--buckets", default="1,8,32",
+                    help="compiled batch sizes (comma-separated, ascending)")
+    sp.add_argument("--max-delay-ms", type=float, default=5.0,
+                    help="dynamic-batching window for partial batches")
+    sp.set_defaults(fn=_cmd_serve)
 
     sp = sub.add_parser("convert")
     sp.add_argument("--model", default="b32")

@@ -1,0 +1,313 @@
+"""Production serving: dynamic request batching onto fixed XLA shapes.
+
+The reference has no deployment story at all (SURVEY §5.4: the fine-tuned
+model is never even saved — /root/reference/main.py has no torch.save). This
+module is the TPU-native serving layer on top of the exported/ckpt detector:
+
+  * **Static shapes, dynamic traffic.** XLA compiles one executable per input
+    shape, so requests are batched onto a small ladder of compiled batch
+    sizes ("buckets"); a partial batch is zero-padded up to the smallest
+    bucket that fits. Every image is independent in the forward pass (conv,
+    per-token LN, within-image attention), so pad rows cost FLOPs but cannot
+    perturb real rows — their outputs are simply dropped.
+  * **Single device owner.** JAX is single-controller: exactly one dispatcher
+    thread touches the device. Request threads (or the asyncio HTTP frontend)
+    only enqueue and wait on a Future.
+  * **Pipelined dispatch.** JAX dispatch is asynchronous: the dispatcher
+    enqueues the jitted call and hands the on-device result to a completion
+    thread, which blocks on device→host transfer and fulfils the Futures.
+    Host work for batch k+1 (queueing, padding, H2D) overlaps device compute
+    for batch k.
+  * **Latency/throughput knob.** `max_delay_ms` bounds how long the first
+    request of a batch waits for co-riders (classic dynamic-batching window).
+
+Thresholds (confidence/IoU/top_k) are compiled constants of the serving
+graph — per-request thresholds would force a retrace; filter client-side on
+the returned scores instead. The server serves the trained query bank
+(fixed class set); per-request text queries would need a text-encoder cache
+and are out of scope here (use `cli infer --queries` for ad-hoc zero-shot).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from owlvit_tpu.models import owlvit
+from owlvit_tpu.models.configs import OwlViTConfig
+from owlvit_tpu.ops import nms as nms_ops
+from owlvit_tpu.ops.preprocess import normalize_image
+
+
+@dataclass
+class _Request:
+    image: np.ndarray  # [S, S, 3] uint8, already model-sized
+    orig_wh: tuple  # (w, h) of the client image, for box rescale
+    future: Future = field(default_factory=Future)
+    t_enqueue: float = field(default_factory=time.perf_counter)
+
+
+class DetectorServer:
+    """Dynamically batched detection server over a jitted forward+NMS graph.
+
+    Parameters
+    ----------
+    params, cfg : the detector pytree + model config (as from
+        `train.state.combine_params` or `models.convert.load_params`).
+    buckets : ascending compiled batch sizes. Keep this list short on real
+        TPUs — each bucket is a separate XLA executable (remote compiles are
+        minutes-expensive on the relay; see BENCH.md).
+    max_delay_ms : how long the first request of a batch waits for more
+        traffic before dispatching a partial (padded) batch.
+    confidence_threshold, iou_threshold, top_k : decode protocol, compiled in
+        (reference protocol: 0.01 / 0.6 / 200 — config.yaml:13-14,
+        main.py:116-118).
+    warmup : compile every bucket at startup (recommended: first-request
+        latency otherwise includes a full XLA compile).
+    autostart : start the dispatcher/completion threads immediately. Tests
+        pass False to enqueue a deterministic batch before starting.
+    """
+
+    def __init__(
+        self,
+        params: dict,
+        cfg: OwlViTConfig,
+        *,
+        buckets: tuple = (1, 8, 32),
+        max_delay_ms: float = 5.0,
+        confidence_threshold: float = 0.01,
+        iou_threshold: float = 0.6,
+        top_k: int = 200,
+        warmup: bool = True,
+        autostart: bool = True,
+        max_inflight: int = 2,
+    ):
+        if list(buckets) != sorted(set(buckets)) or buckets[0] < 1:
+            raise ValueError(f"buckets must be ascending unique >=1: {buckets}")
+        self.cfg = cfg.replace(trainable_last_k=None)  # serving = pure fwd
+        self.buckets = tuple(int(b) for b in buckets)
+        self.max_delay_s = max_delay_ms / 1e3
+        self.image_size = cfg.vision.image_size
+        self._params = jax.device_put(params)
+
+        def _serve(p, images_u8):
+            boxes, sims = owlvit.forward_train(p, self.cfg,
+                                               normalize_image(images_u8))
+            return nms_ops.postprocess(
+                boxes, sims, confidence_threshold=confidence_threshold,
+                iou_threshold=iou_threshold, top_k=top_k,
+            )
+
+        self._serve = jax.jit(_serve)
+        self._q: queue.Queue = queue.Queue()
+        # Bounded: caps device work in flight (pipelining without pile-up).
+        self._done_q: queue.Queue = queue.Queue(maxsize=max_inflight)
+        self._lock = threading.Lock()
+        self._stats = {
+            "requests": 0, "batches": 0, "padded_rows": 0,
+            "bucket_counts": {b: 0 for b in self.buckets},
+        }
+        self._latency = deque(maxlen=10_000)  # seconds, submit -> result
+        self._stop = threading.Event()
+        self._threads: list = []
+        if warmup:
+            self._warmup()
+        if autostart:
+            self.start()
+
+    # ------------------------------------------------------------- lifecycle
+
+    def _warmup(self):
+        S = self.image_size
+        for b in self.buckets:
+            z = jnp.zeros((b, S, S, 3), jnp.uint8)
+            jax.block_until_ready(self._serve(self._params, z))
+
+    def start(self):
+        if self._threads:
+            return
+        for fn, name in [(self._dispatch_loop, "owlvit-serve-dispatch"),
+                         (self._complete_loop, "owlvit-serve-complete")]:
+            t = threading.Thread(target=fn, name=name, daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def close(self):
+        self._stop.set()
+        self._q.put(None)  # wake the dispatcher
+        for t in self._threads:
+            t.join(timeout=30)
+        self._threads = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # --------------------------------------------------------------- clients
+
+    def submit(self, image: np.ndarray) -> Future:
+        """Enqueue one RGB uint8 [H, W, 3] image; returns a Future.
+
+        The future resolves to
+        `{"boxes": [n,4] xyxy in ORIGINAL image pixels, "scores": [n],
+          "classes": [n]}` with only valid (post-NMS) detections kept.
+        Images not already model-sized are bicubic-resized host-side (the
+        reference's preprocessing protocol, HF image_processing_owlvit —
+        square resize, no aspect preservation).
+        """
+        if image.ndim != 3 or image.shape[-1] != 3:
+            raise ValueError(f"expected [H, W, 3] RGB, got {image.shape}")
+        h, w = image.shape[:2]
+        S = self.image_size
+        if (h, w) != (S, S):
+            from PIL import Image
+
+            image = np.asarray(
+                Image.fromarray(np.ascontiguousarray(image, np.uint8))
+                .resize((S, S), Image.BICUBIC), np.uint8,
+            )
+        req = _Request(np.ascontiguousarray(image, np.uint8), (w, h))
+        self._q.put(req)
+        return req.future
+
+    def detect(self, image: np.ndarray, timeout: float | None = None) -> dict:
+        """Synchronous convenience wrapper around `submit`."""
+        return self.submit(image).result(timeout=timeout)
+
+    def stats(self) -> dict:
+        with self._lock:
+            lat = sorted(self._latency)
+            out = {
+                **{k: (dict(v) if isinstance(v, dict) else v)
+                   for k, v in self._stats.items()},
+                "queue_depth": self._q.qsize(),
+            }
+        if lat:
+            pick = lambda q: lat[min(len(lat) - 1, int(q * len(lat)))]  # noqa: E731
+            out["latency_ms"] = {
+                "p50": round(pick(0.50) * 1e3, 2),
+                "p90": round(pick(0.90) * 1e3, 2),
+                "p99": round(pick(0.99) * 1e3, 2),
+                "n": len(lat),
+            }
+        return out
+
+    # ----------------------------------------------------------- worker side
+
+    def _dispatch_loop(self):
+        max_b = self.buckets[-1]
+        while True:
+            first = self._q.get()
+            if first is None:
+                self._done_q.put(None)
+                return
+            batch = [first]
+            deadline = time.perf_counter() + self.max_delay_s
+            while len(batch) < max_b:
+                remaining = deadline - time.perf_counter()
+                try:
+                    # remaining <= 0 still drains anything already queued.
+                    nxt = self._q.get(timeout=max(remaining, 0)) \
+                        if remaining > 0 else self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._dispatch(batch)
+                    self._done_q.put(None)
+                    return
+                batch.append(nxt)
+            self._dispatch(batch)
+
+    def _dispatch(self, batch: list):
+        n = len(batch)
+        bucket = next(b for b in self.buckets if b >= n)
+        S = self.image_size
+        images = np.zeros((bucket, S, S, 3), np.uint8)
+        for i, req in enumerate(batch):
+            images[i] = req.image
+        out = self._serve(self._params, jnp.asarray(images))  # async dispatch
+        with self._lock:
+            self._stats["batches"] += 1
+            self._stats["padded_rows"] += bucket - n
+            self._stats["bucket_counts"][bucket] += 1
+        self._done_q.put((out, batch))
+
+    def _complete_loop(self):
+        while True:
+            item = self._done_q.get()
+            if item is None:
+                return
+            out, batch = item
+            out = jax.tree.map(np.asarray, out)  # blocks until device done
+            now = time.perf_counter()
+            for i, req in enumerate(batch):
+                keep = out["valid"][i]
+                w, h = req.orig_wh
+                req.future.set_result({
+                    "boxes": out["boxes"][i][keep]
+                    * np.array([w, h, w, h], np.float32),
+                    "scores": out["scores"][i][keep],
+                    "classes": out["classes"][i][keep],
+                })
+            with self._lock:
+                self._stats["requests"] += len(batch)
+                self._latency.extend(now - r.t_enqueue for r in batch)
+
+
+# ------------------------------------------------------------- HTTP frontend
+
+
+def make_app(server: DetectorServer, labelmap: dict | None = None):
+    """aiohttp application over a DetectorServer.
+
+    POST /detect   body = PNG/JPEG bytes -> JSON detections
+    GET  /healthz  liveness
+    GET  /stats    batching/latency counters
+    """
+    import asyncio
+    import io
+
+    from aiohttp import web
+    from PIL import Image
+
+    async def detect(request: "web.Request"):
+        data = await request.read()
+        try:
+            img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        except Exception:  # noqa: BLE001 — malformed upload is a client error
+            return web.json_response({"error": "undecodable image"}, status=400)
+        res = await asyncio.wrap_future(server.submit(img))
+        names = labelmap or {}
+        return web.json_response({
+            "detections": [
+                {
+                    "box": [round(float(v), 2) for v in b],
+                    "score": round(float(s), 4),
+                    "class_id": int(c),
+                    "class_name": names.get(int(c), str(int(c))),
+                }
+                for b, s, c in zip(res["boxes"], res["scores"], res["classes"])
+            ]
+        })
+
+    async def healthz(_):
+        return web.json_response({"ok": True})
+
+    async def stats(_):
+        return web.json_response(server.stats())
+
+    app = web.Application(client_max_size=64 * 1024**2)
+    app.router.add_post("/detect", detect)
+    app.router.add_get("/healthz", healthz)
+    app.router.add_get("/stats", stats)
+    return app

@@ -1,0 +1,167 @@
+"""DetectorServer: dynamic batching, padding parity, HTTP frontend."""
+
+import asyncio
+import io
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from owlvit_tpu.models import get_config, owlvit
+from owlvit_tpu.ops import nms as nms_ops
+from owlvit_tpu.ops.preprocess import normalize_image
+from owlvit_tpu.serve import DetectorServer, make_app
+
+N_CLASSES = 4
+
+
+@pytest.fixture(scope="module")
+def detector():
+    cfg = get_config("tiny")
+    params = owlvit.init(jax.random.PRNGKey(3), cfg,
+                         num_queries=3 * N_CLASSES)
+    return params, cfg
+
+
+def _rand_images(n, size, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 255, (n, size, size, 3), dtype=np.uint8)
+
+
+def _direct(params, cfg, images, top_k=16):
+    boxes, sims = owlvit.forward_train(
+        params, cfg.replace(trainable_last_k=None),
+        normalize_image(jnp.asarray(images)))
+    return jax.tree.map(np.asarray, nms_ops.postprocess(
+        boxes, sims, confidence_threshold=0.01, iou_threshold=0.6,
+        top_k=top_k))
+
+
+def test_padded_batch_matches_direct(detector):
+    """A padded partial batch must return the same detections as a direct
+    exact-shape forward — pad rows are per-image independent."""
+    params, cfg = detector
+    S = cfg.vision.image_size
+    images = _rand_images(3, S)
+    ref = _direct(params, cfg, images)
+
+    with DetectorServer(params, cfg, buckets=(8,), max_delay_ms=50,
+                        top_k=16, warmup=False) as srv:
+        futs = [srv.submit(img) for img in images]
+        results = [f.result(timeout=120) for f in futs]
+
+    for i, res in enumerate(results):
+        keep = ref["valid"][i]
+        # server scales boxes by original (w, h) = (S, S)
+        np.testing.assert_allclose(
+            res["boxes"] / S, ref["boxes"][i][keep], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(res["scores"], ref["scores"][i][keep],
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_array_equal(res["classes"], ref["classes"][i][keep])
+
+
+def test_bucket_selection_and_stats(detector):
+    """Queued-before-start requests drain as ONE batch into the smallest
+    bucket that fits; stats record the padding."""
+    params, cfg = detector
+    S = cfg.vision.image_size
+    srv = DetectorServer(params, cfg, buckets=(2, 4, 8), max_delay_ms=20,
+                         top_k=8, warmup=False, autostart=False)
+    futs = [srv.submit(img) for img in _rand_images(3, S, seed=1)]
+    srv.start()
+    for f in futs:
+        f.result(timeout=120)
+    st = srv.stats()
+    srv.close()
+    assert st["requests"] == 3
+    assert st["batches"] == 1
+    assert st["bucket_counts"][4] == 1  # 3 rides the 4-bucket
+    assert st["padded_rows"] == 1
+    assert st["latency_ms"]["n"] == 3
+
+
+def test_single_request_flushes_after_delay(detector):
+    """One lone request must not wait for co-riders beyond max_delay_ms."""
+    params, cfg = detector
+    S = cfg.vision.image_size
+    with DetectorServer(params, cfg, buckets=(4,), max_delay_ms=10,
+                        top_k=8, warmup=True) as srv:
+        t0 = time.perf_counter()
+        srv.detect(_rand_images(1, S, seed=2)[0], timeout=120)
+        elapsed = time.perf_counter() - t0
+    # generous bound: warmup means no compile in the timed path
+    assert elapsed < 30
+
+
+def test_client_resolution_rescale(detector):
+    """A non-model-size image is resized for the model but boxes come back
+    in ORIGINAL pixel coordinates."""
+    from PIL import Image
+
+    params, cfg = detector
+    S = cfg.vision.image_size
+    w, h = 200, 120
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    with DetectorServer(params, cfg, buckets=(1,), max_delay_ms=1,
+                        top_k=8, warmup=False) as srv:
+        res = srv.detect(img, timeout=120)
+
+    resized = np.asarray(Image.fromarray(img).resize((S, S), Image.BICUBIC))
+    ref = _direct(params, cfg, resized[None], top_k=8)
+    keep = ref["valid"][0]
+    np.testing.assert_allclose(
+        res["boxes"],
+        ref["boxes"][0][keep] * np.array([w, h, w, h], np.float32),
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(res["classes"], ref["classes"][0][keep])
+
+
+def test_submit_rejects_bad_shapes(detector):
+    params, cfg = detector
+    srv = DetectorServer(params, cfg, buckets=(1,), warmup=False,
+                         autostart=False)
+    with pytest.raises(ValueError):
+        srv.submit(np.zeros((4, 4), np.uint8))
+    with pytest.raises(ValueError):
+        DetectorServer(params, cfg, buckets=(4, 2), warmup=False,
+                       autostart=False)
+    srv.close()
+
+
+def test_http_frontend(detector):
+    """POST /detect with PNG bytes -> JSON detections; /stats, /healthz."""
+    from aiohttp.test_utils import TestClient, TestServer
+    from PIL import Image
+
+    params, cfg = detector
+    S = cfg.vision.image_size
+    img = _rand_images(1, S, seed=5)[0]
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    async def run(srv):
+        app = make_app(srv, labelmap={0: "thing"})
+        async with TestClient(TestServer(app)) as client:
+            r = await client.get("/healthz")
+            assert (await r.json())["ok"]
+            r = await client.post("/detect", data=png)
+            assert r.status == 200
+            dets = (await r.json())["detections"]
+            for d in dets:
+                assert set(d) == {"box", "score", "class_id", "class_name"}
+            r = await client.post("/detect", data=b"not an image")
+            assert r.status == 400
+            r = await client.get("/stats")
+            assert (await r.json())["requests"] >= 1
+            return dets
+
+    with DetectorServer(params, cfg, buckets=(1, 2), max_delay_ms=1,
+                        top_k=8, warmup=False) as srv:
+        dets = asyncio.run(run(srv))
+        # HTTP result must agree with the in-process path
+        direct = srv.detect(img, timeout=120)
+    assert len(dets) == len(direct["boxes"])
