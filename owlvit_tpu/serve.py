@@ -30,6 +30,7 @@ and are out of scope here (use `cli infer --queries` for ad-hoc zero-shot).
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
@@ -107,6 +108,9 @@ class DetectorServer:
             )
 
         self._serve = jax.jit(_serve)
+        # OWLVIT_SERVE_PHASES=1: time assemble/H2D/exec/fetch per batch
+        # (synchronizes between phases — diagnosis only, disables pipelining).
+        self._debug_phases = os.environ.get("OWLVIT_SERVE_PHASES") == "1"
         self._q: queue.Queue = queue.Queue()
         # Bounded: caps device work in flight (pipelining without pile-up).
         self._done_q: queue.Queue = queue.Queue(maxsize=max_inflight)
@@ -115,6 +119,10 @@ class DetectorServer:
             "requests": 0, "batches": 0, "padded_rows": 0,
             "bucket_counts": {b: 0 for b in self.buckets},
         }
+        if self._debug_phases:
+            self._stats["phase_secs"] = {
+                "assemble": 0.0, "h2d": 0.0, "exec": 0.0, "fetch": 0.0,
+            }
         self._latency = deque(maxlen=10_000)  # seconds, submit -> result
         self._stop = threading.Event()
         self._threads: list = []
@@ -232,10 +240,23 @@ class DetectorServer:
         n = len(batch)
         bucket = next(b for b in self.buckets if b >= n)
         S = self.image_size
+        t0 = time.perf_counter()
         images = np.zeros((bucket, S, S, 3), np.uint8)
         for i, req in enumerate(batch):
             images[i] = req.image
-        out = self._serve(self._params, jnp.asarray(images))  # async dispatch
+        if self._debug_phases:
+            t1 = time.perf_counter()
+            dev = jax.block_until_ready(jnp.asarray(images))
+            t2 = time.perf_counter()
+            out = jax.block_until_ready(self._serve(self._params, dev))
+            t3 = time.perf_counter()
+            with self._lock:
+                ph = self._stats["phase_secs"]
+                ph["assemble"] += t1 - t0
+                ph["h2d"] += t2 - t1
+                ph["exec"] += t3 - t2
+        else:
+            out = self._serve(self._params, jnp.asarray(images))  # async
         with self._lock:
             self._stats["batches"] += 1
             self._stats["padded_rows"] += bucket - n
@@ -248,8 +269,12 @@ class DetectorServer:
             if item is None:
                 return
             out, batch = item
+            tf0 = time.perf_counter()
             out = jax.tree.map(np.asarray, out)  # blocks until device done
             now = time.perf_counter()
+            if self._debug_phases:
+                with self._lock:
+                    self._stats["phase_secs"]["fetch"] += now - tf0
             for i, req in enumerate(batch):
                 keep = out["valid"][i]
                 w, h = req.orig_wh

@@ -188,7 +188,27 @@ class Trainer:
 
         self._grad_update = grad_update
 
+        aug = cfg.training
+        if aug.augment and aug.cache_backbone:
+            raise ValueError(
+                "training.augment and training.cache_backbone are mutually "
+                "exclusive: the activation cache stores frozen-prefix outputs "
+                "of CONSTANT pixels; augmentation changes pixels every step"
+            )
+        aug_key = jax.random.PRNGKey(aug.seed) if aug.augment else None
+
         def train_step(state: TrainState, batch):
+            if aug.augment:
+                from owlvit_tpu.ops.augment import augment_batch
+
+                k = jax.random.fold_in(aug_key, state.step)
+                img, bxs, msk = augment_batch(
+                    k, batch["image"], batch["boxes"], batch["gt_mask"],
+                    hflip_prob=aug.aug_hflip, color_strength=aug.aug_color,
+                    scale_min=aug.aug_scale_min, scale_max=aug.aug_scale_max,
+                )
+                batch = {**batch, "image": img, "boxes": bxs, "gt_mask": msk}
+
             def loss_fn(trainable):
                 params = combine_params(trainable, state.frozen)
                 px = normalize_image(batch["image"])
@@ -241,7 +261,8 @@ class Trainer:
         print(
             f"trainer: model={cfg.model.name} dtype={cfg.model.dtype} "
             f"trainable_last_k={cfg.model.trainable_last_k} | {mesh_desc} | "
-            f"{cache_desc} | batch={t.batch_size}",
+            f"{cache_desc} | batch={t.batch_size}"
+            + (" | augment ON" if t.augment else ""),
             flush=True,
         )
 

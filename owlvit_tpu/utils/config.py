@@ -76,6 +76,16 @@ class TrainingConfig:
     # exactly the reference's setup (SURVEY §2.3: it has no parallelism).
     mesh_data: int = 1
     mesh_model: int = 1
+    # --- on-device augmentation (beyond-reference; ops/augment.py) -------
+    # Master switch. Mutually exclusive with cache_backbone: the activation
+    # cache requires constant pixels per image, augmentation changes them
+    # every step. Sampled inside the jitted step from PRNGKey(seed) folded
+    # with the step counter — bit-reproducible per training.seed.
+    augment: bool = False
+    aug_hflip: float = 0.5  # per-image horizontal-flip probability
+    aug_color: float = 0.0  # brightness/contrast/saturation strength
+    aug_scale_min: float = 1.0  # zoom window scale range; <1 crops (zoom
+    aug_scale_max: float = 1.0  # in), >1 shrinks onto a zero canvas
 
 
 @dataclasses.dataclass

@@ -87,6 +87,8 @@ try:
         padded_rows=st["padded_rows"],
         bucket_counts={str(k): v for k, v in st["bucket_counts"].items()},
         mean_dets=round(n_det / total, 1),
+        phase_secs={k: round(v, 2) for k, v in st["phase_secs"].items()}
+        if "phase_secs" in st else None,
         ok=True,
         secs=round(time.time() - t0, 1),
     )
