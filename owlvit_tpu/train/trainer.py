@@ -126,6 +126,22 @@ class Trainer:
             learning_rate=self._lr_schedule(),
             weight_decay=cfg.training.weight_decay,
         )
+        if cfg.training.grad_accum < 1:
+            raise ValueError(
+                f"training.grad_accum must be >= 1, got {cfg.training.grad_accum}"
+            )
+        if cfg.training.grad_accum > 1:
+            # k micro-steps of batch_size average into ONE adamw update
+            # (effective batch k*batch_size) through the SAME compiled step
+            # graph — no larger graph to compile (b48/b64 fault the remote
+            # compiler, BENCH.md). MultiSteps state embeds a params-shaped
+            # grad accumulator, so opt_state sharding (structural suffix
+            # match, parallel/sharding.py) and Orbax checkpointing both
+            # compose untouched. The inner adamw schedule advances once per
+            # completed accumulation = once per optimizer update.
+            self.tx = optax.MultiSteps(
+                self.tx, every_k_schedule=cfg.training.grad_accum
+            )
         self.state = TrainState(
             trainable=jax.tree.map(jnp.asarray, trainable),
             frozen=jax.tree.map(jnp.asarray, frozen),
@@ -262,6 +278,8 @@ class Trainer:
             f"trainer: model={cfg.model.name} dtype={cfg.model.dtype} "
             f"trainable_last_k={cfg.model.trainable_last_k} | {mesh_desc} | "
             f"{cache_desc} | batch={t.batch_size}"
+            + (f" | grad_accum={t.grad_accum} (eff. batch "
+               f"{t.grad_accum * t.batch_size})" if t.grad_accum > 1 else "")
             + (" | augment ON" if t.augment else ""),
             flush=True,
         )
@@ -503,6 +521,10 @@ class Trainer:
             steps_per_epoch = max(1, (n // dp) // max(1, t.batch_size // dp))
         else:
             steps_per_epoch = max(1, n // t.batch_size)
+        # MultiSteps advances the inner adamw schedule once per COMPLETED
+        # accumulation, so schedule steps count optimizer updates, not
+        # micro-steps.
+        steps_per_epoch = max(1, steps_per_epoch // max(1, t.grad_accum))
         total = max(t.n_epochs * steps_per_epoch, t.warmup_steps + 1)
         if t.lr_schedule == "constant":
             return optax.join_schedules(

@@ -86,6 +86,12 @@ class TrainingConfig:
     aug_color: float = 0.0  # brightness/contrast/saturation strength
     aug_scale_min: float = 1.0  # zoom window scale range; <1 crops (zoom
     aug_scale_max: float = 1.0  # in), >1 shrinks onto a zero canvas
+    # Gradient accumulation (optax.MultiSteps): k micro-steps of batch_size
+    # average their grads into ONE optimizer update — the effective batch is
+    # k*batch_size through the same compiled step graph. Use when the target
+    # batch doesn't compile/fit (here: b48/b64 fault the remote compiler;
+    # 2x32 gives effective 64). LR-schedule steps count optimizer updates.
+    grad_accum: int = 1
 
 
 @dataclasses.dataclass
