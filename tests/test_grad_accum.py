@@ -94,6 +94,28 @@ def test_grad_accum_validation(tmp_path):
         Trainer(_cfg(str(tmp_path), grad_accum=0), workdir=str(tmp_path))
 
 
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs the virtual CPU mesh")
+def test_grad_accum_on_mesh_matches_single_device(tmp_path):
+    """dp4 + grad_accum=2 == single-device + grad_accum=2: the MultiSteps
+    opt state (which embeds a params-shaped grad accumulator) must shard
+    structurally and leave numerics untouched."""
+    root = str(tmp_path)
+    t1 = Trainer(
+        _cfg(root, grad_accum=2, n_epochs=2, seed=0),
+        workdir=os.path.join(root, "single"),
+    )
+    t1.run()
+    t4 = Trainer(
+        _cfg(root, grad_accum=2, n_epochs=2, seed=0, mesh_data=4),
+        workdir=os.path.join(root, "dp4"),
+    )
+    t4.run()
+    assert int(t1.state.step) == int(t4.state.step) == 4
+    q1 = np.asarray(jax.device_get(t1.state.trainable["queries"]), np.float32)
+    q4 = np.asarray(jax.device_get(t4.state.trainable["queries"]), np.float32)
+    np.testing.assert_allclose(q1, q4, rtol=1e-4, atol=1e-6)
+
+
 @pytest.mark.parametrize("cache", [False, True])
 def test_grad_accum_e2e(tmp_path, cache):
     """Full run with grad_accum=2 (plain and composed with the activation

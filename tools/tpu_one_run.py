@@ -3,6 +3,9 @@ cascades failures within a process, so every experiment gets its own).
 
 Usage: python tools/tpu_one_run.py NAME [batch=32] [packed=0] [bwd=both]
        [fused=0] [model=b16] [k=1] [dtype=bfloat16] [steps=20] [remat=0]
+Modes (mutually exclusive): loss=1, gatherprobe=1, infer=1, quantdrift=1,
+       cached=1, aug=1 (uncached step + on-device augmentation),
+       accum=K (cached tail with optax.MultiSteps grad accumulation).
 Appends one JSON line to /tmp/tpu_runs.jsonl.
 """
 
@@ -287,6 +290,160 @@ try:
         rec.update(
             floor_map=round(float(floor["map"]), 4),
             floor_map_50=round(float(floor["map_50"]), 4),
+            compile_secs=round(time.time() - t, 1),
+            ok=True,
+        )
+    elif args.get("aug") == "1":
+        # On-device augmentation in the uncached full step (the only path
+        # it composes with — augmented pixels defeat the activation cache).
+        # Measures (a) the augment_batch pipeline alone and (b) the full
+        # train step with augmentation folded in, at the trainer's exact
+        # composition (fold_in(step) inside the jitted step). Compare (b)
+        # against the established 126.2 img/s non-augmented uncached row.
+        import numpy as np
+        import optax
+
+        from owlvit_tpu.models import get_config, owlvit
+        from owlvit_tpu.ops import losses as loss_ops
+        from owlvit_tpu.ops.augment import augment_batch
+        from owlvit_tpu.ops.preprocess import normalize_image
+        from owlvit_tpu.train.state import (
+            TrainState, combine_params, partition_params,
+        )
+
+        n_classes = 80
+        cfg = get_config(model, dtype=dtype, trainable_last_k=k or 1)
+        params = owlvit.init(jax.random.PRNGKey(0), cfg, num_queries=3 * n_classes)
+        trainable, frozen = partition_params(params, k or 1)
+        tx = optax.adamw(3e-6, weight_decay=0.1)
+        state = TrainState(trainable, frozen, tx.init(trainable), jnp.int32(0))
+        data = bench._make_batch(cfg, batch, n_classes)
+        aug_key = jax.random.PRNGKey(0)
+        aug_kw = dict(
+            hflip_prob=float(args.get("hflip", "0.5")),
+            color_strength=float(args.get("color", "0.4")),
+            scale_min=float(args.get("smin", "0.8")),
+            scale_max=float(args.get("smax", "1.2")),
+        )
+
+        def aug_only(step_i, image, boxes, gt_mask):
+            kk = jax.random.fold_in(aug_key, step_i)
+            return augment_batch(kk, image, boxes, gt_mask, **aug_kw)
+
+        aonly = jax.jit(aug_only)
+        out = aonly(state.step, data["image"], data["boxes"], data["gt_mask"])
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = aonly(state.step, data["image"], data["boxes"], data["gt_mask"])
+        jax.block_until_ready(out)
+        rec["aug_only_ms"] = round(
+            (time.perf_counter() - t0) / steps * 1e3, 2
+        )
+
+        def train_step(state, data):
+            kk = jax.random.fold_in(aug_key, state.step)
+            img, bxs, msk = augment_batch(
+                kk, data["image"], data["boxes"], data["gt_mask"], **aug_kw
+            )
+
+            def loss_fn(trainable):
+                p = combine_params(trainable, state.frozen)
+                pb, sims = owlvit.forward_train(p, cfg, normalize_image(img))
+                terms = loss_ops.push_pull_loss(
+                    sims, pb, data["labels"], bxs, msk, n_classes
+                )
+                return loss_ops.total_loss(terms), terms
+
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.trainable
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+            return (
+                TrainState(
+                    optax.apply_updates(state.trainable, updates),
+                    state.frozen, opt_state, state.step + 1,
+                ),
+                loss,
+            )
+
+        astep = jax.jit(train_step, donate_argnums=(0,))
+        sps, loss = bench._measure(astep, state, data, steps)
+        rec.update(
+            imgs_per_sec=round(sps * batch, 2),
+            loss=float(loss),
+            compile_secs=round(time.time() - t, 1),
+            ok=True,
+        )
+    elif "accum" in args:
+        # Gradient accumulation (training.grad_accum, optax.MultiSteps) on
+        # the cached-tail steady-state step: micro-step rate at batch_size
+        # with updates every k micro-steps — effective batch k*batch_size
+        # through the b32-proven graph (b48/b64 fault the relay).
+        import optax
+
+        from owlvit_tpu.models import get_config, owlvit
+        from owlvit_tpu.ops import losses as loss_ops
+        from owlvit_tpu.ops.preprocess import normalize_image
+        from owlvit_tpu.train.state import (
+            TrainState, combine_params, partition_params,
+        )
+        from owlvit_tpu.utils.bench_cached import build_batch
+
+        accum = int(args["accum"])
+        n_classes = 80
+        cfg = get_config(model, dtype=dtype, trainable_last_k=k or 1)
+        params = owlvit.init(jax.random.PRNGKey(0), cfg, num_queries=3 * n_classes)
+        trainable, frozen = partition_params(params, k or 1)
+        tx = optax.adamw(3e-6, weight_decay=0.1)
+        if accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        state = TrainState(trainable, frozen, tx.init(trainable), jnp.int32(0))
+        data = build_batch(cfg, batch, n_classes)
+
+        def prefix_step(trainable, frozen, images):
+            p = combine_params(trainable, frozen)
+            return owlvit.embed_prefix(p, cfg, normalize_image(images))
+
+        def tail_step(state, acts, labels, boxes, gt_mask):
+            def loss_fn(trainable):
+                p = combine_params(trainable, state.frozen)
+                pb, sims = owlvit.forward_train_from_prefix(p, cfg, acts)
+                terms = loss_ops.push_pull_loss(
+                    sims, pb, labels, boxes, gt_mask, n_classes
+                )
+                return loss_ops.total_loss(terms), terms
+
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.trainable
+            )
+            updates, opt_state = tx.update(
+                grads, state.opt_state, state.trainable
+            )
+            return (
+                TrainState(
+                    optax.apply_updates(state.trainable, updates),
+                    state.frozen, opt_state, state.step + 1,
+                ),
+                loss,
+            )
+
+        pstep = jax.jit(prefix_step)
+        tstep = jax.jit(tail_step, donate_argnums=(0,))
+        acts = pstep(state.trainable, state.frozen, data["image"])
+        jax.block_until_ready(acts)
+        la, bo, gm = data["labels"], data["boxes"], data["gt_mask"]
+        state, loss = tstep(state, acts, la, bo, gm)  # compile
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, loss = tstep(state, acts, la, bo, gm)
+        jax.block_until_ready(loss)
+        dt = time.perf_counter() - t0
+        rec.update(
+            imgs_per_sec=round(steps * batch / dt, 2),
+            effective_batch=accum * batch,
+            loss=float(loss),
             compile_secs=round(time.time() - t, 1),
             ok=True,
         )
