@@ -141,6 +141,51 @@ def hungarian(cost: jnp.ndarray, row_mask: jnp.ndarray | None = None) -> jnp.nda
     return col4row
 
 
+_BIG = jnp.float32(1e9)
+
+
+def hungarian_pruned(cost: jnp.ndarray, row_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Exact assignment via column pruning: solve on each row's R smallest
+    columns instead of all C.
+
+    Exchange argument for exactness: in any optimal assignment, if row i
+    held a column c outside its R smallest, the other <= R-1 assigned rows
+    can occupy at most R-1 of row i's R cheaper-or-equal columns, so one is
+    free — moving row i there does not increase the total. Each such move
+    fixes one row without touching the others, so repeating terminates with
+    an optimal assignment inside the union of per-row top-R columns
+    (<= R*R of them). The same bound holds a fortiori when only a subset of
+    rows is valid (row_mask): fewer rows occupy fewer columns.
+
+    Duplicate columns in the union would let two rows take the same original
+    column through different copies — an invalid matching — so duplicates
+    are disabled with a big finite cost (each row still sees >= R distinct
+    finite columns: its own top-R). Returns col4row [R] in ORIGINAL column
+    indices (-1 for masked rows), optimal-cost-equal to `hungarian` (the
+    assignment itself may differ under ties, as with scipy).
+
+    Why: the JV solver's sequential Dijkstra scans all C columns per
+    iteration; at the detection shapes C = num_patches (2304 at B/16) dwarfs
+    R = max_gt, so shrinking the scan width R*R/C-fold cuts the per-iteration
+    VPU work without touching the sequential structure.
+    """
+    R, C = cost.shape
+    if R * R >= C:  # nothing to prune at this shape
+        return hungarian(cost, row_mask)
+    cost = cost.astype(jnp.float32)
+    _, top_idx = jax.lax.top_k(-cost, R)  # [R, R] per-row smallest columns
+    cols = jnp.sort(top_idx.reshape(-1))  # [R*R] ascending original indices
+    dup = jnp.concatenate(
+        [jnp.zeros((1,), bool), cols[1:] == cols[:-1]]
+    )  # keep the first copy of each column
+    sub = jnp.take(cost, cols, axis=1)  # [R, R*R]
+    sub = jnp.where(dup[None, :], _BIG, sub)
+    sub_col4row = hungarian(sub, row_mask)
+    return jnp.where(
+        sub_col4row >= 0, cols[jnp.clip(sub_col4row, 0)], jnp.int32(-1)
+    ).astype(jnp.int32)
+
+
 def cost_matrix(
     pred_sims: jnp.ndarray,
     pred_boxes: jnp.ndarray,
@@ -194,7 +239,15 @@ def match(
     # padded GT rows are skipped by the solver (OWLVIT_MATCH_SKIP=0 restores
     # the r2 solve-constant-rows behavior for A/B)
     mask = None if os.environ.get("OWLVIT_MATCH_SKIP") == "0" else gt_mask
-    assigned = hungarian(C, row_mask=mask)  # [G]
+    # OWLVIT_MATCH_PRUNE=1: exact top-G column pruning (hungarian_pruned) —
+    # shrinks every Dijkstra scan from P to <= G*G columns. Opt-in pending
+    # the on-chip A/B (BENCH.md).
+    solver = (
+        hungarian_pruned
+        if os.environ.get("OWLVIT_MATCH_PRUNE") == "1"
+        else hungarian
+    )
+    assigned = solver(C, row_mask=mask)  # [G]
     P = pred_boxes.shape[0]
     target_classes = jnp.full((P,), n_classes, jnp.int32)
     # Scatter valid GT labels to their matched patches; invalid rows scatter

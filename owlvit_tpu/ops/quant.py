@@ -56,6 +56,27 @@ def _quantize(x: jnp.ndarray, scale) -> jnp.ndarray:
     return jnp.clip(q, -127, 127).astype(jnp.int8)
 
 
+def quantize_rows(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-token symmetric int8 storage quantization.
+
+    x [..., D] -> (q int8 [..., D], scale f32 [...]). Unlike `linear_q`
+    (int8 MATMULS through 11 layers, which fails the drift gate above),
+    this quantizes ONE tensor once for storage — the activation-cache pool
+    (trainer device store) — and dequantizes back to the compute dtype
+    before any math. Worst-case per-element error is scale/2 = rowmax/254;
+    the pool shrinks 2x vs bf16, which is what lets recipe-scale L/14 sets
+    stay device-resident (BENCH.md: a 2500-image L/14 pool is 19 GB at
+    bf16 — over HBM — and 9.5 GB at int8).
+    """
+    scale = _per_token_scale(x)  # [..., 1]
+    return _quantize(x, scale), scale[..., 0]
+
+
+def dequantize_rows(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Inverse of quantize_rows: (int8 [..., D], f32 [...]) -> dtype [..., D]."""
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
 def linear_q(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     """int8 x int8 -> int32 linear with dynamic scales; y in x.dtype."""
     w = p["kernel"]

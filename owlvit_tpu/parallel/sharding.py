@@ -152,10 +152,12 @@ def shard_act_pool(acts_all, mesh: Mesh):
 def local_gather(acts_all, idxs, mesh: Mesh, axis: str = "data"):
     """Gather pool rows with per-rank-local indexing (no collectives).
 
-    acts_all: [N, S, D], rows sharded over `axis` (N % dp == 0).
+    acts_all: [N, ...] (any trailing rank — [N, S, D] activations or
+              [N, S] per-token quant scales), rows sharded over `axis`
+              (N % dp == 0).
     idxs:     [B] GLOBAL row indices, sharded over `axis` (B % dp == 0),
               where idxs shard r only addresses rows of acts shard r —
-              what shard_aligned_order produces. Returns [B, S, D] sharded
+              what shard_aligned_order produces. Returns [B, ...] sharded
               over `axis`.
     """
     try:
@@ -166,6 +168,7 @@ def local_gather(acts_all, idxs, mesh: Mesh, axis: str = "data"):
     N = acts_all.shape[0]
     dp = mesh.shape[axis]
     assert N % dp == 0 and idxs.shape[0] % dp == 0
+    row = P(axis, *([None] * (acts_all.ndim - 1)))
 
     def body(a_loc, i_loc):
         base = jax.lax.axis_index(axis) * (N // dp)
@@ -174,8 +177,8 @@ def local_gather(acts_all, idxs, mesh: Mesh, axis: str = "data"):
     return shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(axis, None, None), P(axis)),
-        out_specs=P(axis, None, None),
+        in_specs=(row, P(axis)),
+        out_specs=row,
     )(acts_all, idxs)
 
 
@@ -215,9 +218,9 @@ def shard_aligned_batches(n: int, batch_size: int, dp: int, *, seed: int = 0):
 def local_scatter(acts_all, idxs, acts, mesh: Mesh, axis: str = "data"):
     """Write batch rows into the sharded pool with rank-local indexing.
 
-    Inverse of local_gather: acts_all [N, S, D] rows sharded over `axis`,
+    Inverse of local_gather: acts_all [N, ...] rows sharded over `axis`,
     idxs [B] global indices aligned to the sharding (shard_aligned_batches),
-    acts [B, S, D] sharded over `axis`. Returns the updated pool, still
+    acts [B, ...] sharded over `axis`. Returns the updated pool, still
     sharded — donate it at the jit boundary for an in-place update.
     """
     try:
@@ -228,6 +231,7 @@ def local_scatter(acts_all, idxs, acts, mesh: Mesh, axis: str = "data"):
     N = acts_all.shape[0]
     dp = mesh.shape[axis]
     assert N % dp == 0 and idxs.shape[0] % dp == 0
+    row = P(axis, *([None] * (acts_all.ndim - 1)))
 
     def body(a_loc, i_loc, v_loc):
         base = jax.lax.axis_index(axis) * (N // dp)
@@ -236,6 +240,6 @@ def local_scatter(acts_all, idxs, acts, mesh: Mesh, axis: str = "data"):
     return shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(axis, None, None), P(axis), P(axis, None, None)),
-        out_specs=P(axis, None, None),
+        in_specs=(row, P(axis), row),
+        out_specs=row,
     )(acts_all, idxs, acts)

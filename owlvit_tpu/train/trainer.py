@@ -271,7 +271,9 @@ class Trainer:
             if self.mesh is not None else "single-device"
         )
         cache_desc = (
-            f"act-cache ON (store={self.act_store})"
+            f"act-cache ON (store={self.act_store}"
+            + (f", {t.cache_store_dtype}" if t.cache_store_dtype else "")
+            + ")"
             if t.cache_backbone else "act-cache off"
         )
         print(
@@ -291,6 +293,14 @@ class Trainer:
         n_classes = self.n_classes
         scales = self._scales
         grad_update = self._grad_update
+
+        qdt = cfg.training.cache_store_dtype
+        if qdt not in (None, "int8"):
+            raise ValueError(
+                "training.cache_store_dtype must be null or 'int8', "
+                f"got {qdt!r}"
+            )
+        compute_dtype = jnp.dtype(mcfg.dtype)
 
         def prefix_step(trainable, frozen, images):
             params = combine_params(trainable, frozen)
@@ -315,25 +325,59 @@ class Trainer:
 
             mesh = self.mesh
 
-            def tail_step_gather(state, acts_all, idxs, labels, boxes, gt_mask):
-                acts = local_gather(acts_all, idxs, mesh)
-                return tail_loss_update(state, acts, labels, boxes, gt_mask)
+            def pool_gather(pool, idxs):
+                if qdt:
+                    from owlvit_tpu.ops.quant import dequantize_rows
 
-            def scatter_acts(acts_all, idxs, acts):
-                return local_scatter(acts_all, idxs, acts, mesh)
+                    return dequantize_rows(
+                        local_gather(pool["q"], idxs, mesh),
+                        local_gather(pool["s"], idxs, mesh),
+                        compute_dtype,
+                    )
+                return local_gather(pool, idxs, mesh)
+
+            def scatter_acts(pool, idxs, acts):
+                if qdt:
+                    from owlvit_tpu.ops.quant import quantize_rows
+
+                    q, s = quantize_rows(acts)
+                    return {
+                        "q": local_scatter(pool["q"], idxs, q, mesh),
+                        "s": local_scatter(pool["s"], idxs, s, mesh),
+                    }
+                return local_scatter(pool, idxs, acts, mesh)
         else:
 
-            def tail_step_gather(state, acts_all, idxs, labels, boxes, gt_mask):
+            def pool_gather(pool, idxs):
                 # one HBM-local gather replaces any host transfer
-                return tail_loss_update(state, acts_all[idxs], labels, boxes, gt_mask)
+                if qdt:
+                    from owlvit_tpu.ops.quant import dequantize_rows
 
-            def scatter_acts(acts_all, idxs, acts):
-                return acts_all.at[idxs].set(acts)
+                    return dequantize_rows(
+                        pool["q"][idxs], pool["s"][idxs], compute_dtype
+                    )
+                return pool[idxs]
+
+            def scatter_acts(pool, idxs, acts):
+                if qdt:
+                    from owlvit_tpu.ops.quant import quantize_rows
+
+                    q, s = quantize_rows(acts)
+                    return {
+                        "q": pool["q"].at[idxs].set(q),
+                        "s": pool["s"].at[idxs].set(s),
+                    }
+                return pool.at[idxs].set(acts)
+
+        def tail_step_gather(state, pool, idxs, labels, boxes, gt_mask):
+            acts = pool_gather(pool, idxs)
+            return tail_loss_update(state, acts, labels, boxes, gt_mask)
 
         self.prefix_step = jax.jit(prefix_step)
         self.tail_step = jax.jit(tail_loss_update, donate_argnums=(0,))
         self.tail_step_gather = jax.jit(tail_step_gather, donate_argnums=(0,))
         self.scatter_acts = jax.jit(scatter_acts, donate_argnums=(0,))
+        self._cache_qdt = qdt
 
         # --- store backend ---------------------------------------------------
         t, m = cfg.training, cfg.model
@@ -364,10 +408,19 @@ class Trainer:
             if owlvit._attn_impl(mcfg) == "flash":
                 S = ((S + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
             elt = 2 if mcfg.dtype == "bfloat16" else 4
+            if qdt == "int8":  # int8 payload + one f32 scale per token
+                elt = 1 + 4.0 / mcfg.vision.hidden_size
             total = len(self.train_ds) * S * mcfg.vision.hidden_size * elt
             # 10 GB leaves ~5 GB of v5e HBM for params/opt/activations; the
             # reference recipe (2500 imgs, B/16 bf16: 9.34 GB) fits on-device.
             store = "device" if total <= 10e9 else "disk"
+        if qdt and store != "device":
+            raise ValueError(
+                f"training.cache_store_dtype={qdt!r} only applies to the "
+                f"device pool, but the store resolved to {store!r} (the disk "
+                "memmap already persists at the activation dtype; if 'auto' "
+                "picked disk, the set exceeds HBM even quantized)"
+            )
         self.act_store = store
         self._acts_dev = None  # [N, S_pad, D] device array (device store)
         self._acts_filled = np.zeros((len(self.train_ds),), bool)
@@ -419,6 +472,29 @@ class Trainer:
             base = os.path.join(self.workdir, f"backbone_{m.name}")
             self.act_cache = ActivationCache(base, len(self.train_ds), fp)
 
+    def _init_pool(self, shape, act_dtype):
+        """Zero-init the device activation pool ([N, S, D] at the activation
+        dtype, or {"q": int8 [N, S, D], "s": f32 [N, S]} under
+        cache_store_dtype=int8), row-sharded over "data" on a mesh. A zeros
+        pool + scatter of computed rows is the relay-safe fill pattern
+        (BENCH.md r3: a tile+slice fill transient faulted the chip)."""
+        if self._cache_qdt == "int8":
+            mk = lambda: {  # noqa: E731
+                "q": jnp.zeros(shape, jnp.int8),
+                "s": jnp.zeros(shape[:-1], jnp.float32),
+            }
+        else:
+            mk = lambda: jnp.zeros(shape, act_dtype)  # noqa: E731
+        if self.mesh is None:
+            return mk()
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        row = lambda nd: NamedSharding(  # noqa: E731
+            self.mesh, PartitionSpec("data", *([None] * (nd - 1)))
+        )
+        sharding = jax.tree.map(lambda x: row(x.ndim), jax.eval_shape(mk))
+        return jax.jit(mk, out_shardings=sharding)()
+
     def _train_one_batch(self, batch) -> dict:
         """One optimizer step; routes through the activation cache if on."""
         if not self.cfg.training.cache_backbone:
@@ -439,17 +515,7 @@ class Trainer:
             )
             if self._acts_dev is None:
                 shape = (len(self.train_ds),) + acts.shape[1:]
-                if self.mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec
-
-                    self._acts_dev = jax.jit(
-                        lambda: jnp.zeros(shape, acts.dtype),
-                        out_shardings=NamedSharding(
-                            self.mesh, PartitionSpec("data", None, None)
-                        ),
-                    )()
-                else:
-                    self._acts_dev = jnp.zeros(shape, acts.dtype)
+                self._acts_dev = self._init_pool(shape, acts.dtype)
             self._acts_dev = self.scatter_acts(
                 self._acts_dev, jnp.asarray(idxs), acts
             )

@@ -70,6 +70,16 @@ class TrainingConfig:
     # "disk" memmaps them on the host (persists across runs, any size);
     # "auto" picks device when the whole set fits in ~10 GB of HBM.
     cache_backbone_store: str = "auto"
+    # Storage dtype for the DEVICE pool. None stores activations at their
+    # compute dtype (bit-identical cached training — the default). "int8"
+    # stores per-token symmetric int8 + one f32 scale per token (ops/quant.py
+    # quantize_rows): the pool shrinks ~2x, which keeps recipe-scale L/14
+    # sets device-resident (2500 imgs: 19 GB bf16 vs 9.5 GB int8) where bf16
+    # would overflow HBM and fall back to per-step disk streaming (which
+    # faults this env's relay). Epoch 1 still trains on EXACT activations
+    # (the quantized copy is only read from epoch 2 on); worst-case storage
+    # error is rowmax/254 per element. Device store only.
+    cache_store_dtype: Optional[str] = None
     # GSPMD mesh for the train/eval steps: batch shards over mesh_data
     # (gradient all-reduce rides ICI), tensors over mesh_model
     # (Megatron-style specs, parallel/sharding.py). 1x1 = single device,

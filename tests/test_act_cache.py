@@ -84,7 +84,8 @@ def test_embed_prefix_rejects_full_finetune():
         owlvit.embed_prefix(params, cfg, img)
 
 
-def _run(root: str, cache_backbone: bool, store: str = "auto") -> tuple:
+def _run(root: str, cache_backbone: bool, store: str = "auto",
+         store_dtype=None, n_epochs: int = 2) -> tuple:
     from owlvit_tpu.train import Trainer
 
     cfg = Config(
@@ -96,13 +97,14 @@ def _run(root: str, cache_backbone: bool, store: str = "auto") -> tuple:
             synthetic_classes=3,
         ),
         training=TrainingConfig(
-            n_epochs=2,
+            n_epochs=n_epochs,
             learning_rate=1e-4,
             batch_size=4,
             log_file=None,
             top_k=16,
             cache_backbone=cache_backbone,
             cache_backbone_store=store,
+            cache_store_dtype=store_dtype,
         ),
         model=ModelConfig(name="tiny", trainable_last_k=1),
     )
@@ -133,6 +135,67 @@ def test_trainer_cached_run_matches_uncached(tmp_path, store):
         # epoch 3 from a fresh Trainer object reuses the on-disk cache rows
         t2, _ = _run(str(tmp_path / "cached"), cache_backbone=True, store=store)
         assert t2.act_cache.complete
+
+
+def test_quantize_rows_roundtrip():
+    from owlvit_tpu.ops.quant import dequantize_rows, quantize_rows
+
+    # rows with wildly different dynamic ranges (the per-token-scale case)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 6, 32))
+    x = x * (10.0 ** jnp.arange(-2, 2))[:, None, None]
+    q, s = quantize_rows(x)
+    assert q.dtype == jnp.int8 and q.shape == x.shape
+    assert s.shape == (4, 6) and s.dtype == jnp.float32
+    deq = dequantize_rows(q, s, jnp.float32)
+    # symmetric rounding: worst-case error is half a quantization step
+    err = np.abs(np.asarray(deq) - np.asarray(x, np.float32))
+    bound = np.asarray(s)[..., None] * 0.5 * (1 + 1e-5)
+    assert (err <= bound).all()
+    # zero rows survive (scale floor, no NaN/inf)
+    q0, s0 = quantize_rows(jnp.zeros((2, 3, 8)))
+    assert np.isfinite(np.asarray(s0)).all()
+    assert (np.asarray(dequantize_rows(q0, s0, jnp.float32)) == 0).all()
+
+
+def test_trainer_int8_store_epoch1_is_exact(tmp_path):
+    # Epoch 1 never READS the quantized pool (tail trains on the exact
+    # prefix output; quantization only affects rows re-read from epoch 2),
+    # so a 1-epoch int8-store run must equal the bf16-store run bit-for-bit.
+    t_a, _ = _run(str(tmp_path / "a"), cache_backbone=True, store="device",
+                  n_epochs=1)
+    t_b, _ = _run(str(tmp_path / "b"), cache_backbone=True, store="device",
+                  store_dtype="int8", n_epochs=1)
+    assert isinstance(t_b._acts_dev, dict)
+    assert t_b._acts_dev["q"].dtype == jnp.int8
+    assert t_b._acts_dev["s"].dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(t_a.state.trainable["queries"], np.float32),
+        np.asarray(t_b.state.trainable["queries"], np.float32),
+    )
+
+
+def test_trainer_int8_store_trains_close_to_exact(tmp_path):
+    t_a, m_a = _run(str(tmp_path / "a"), cache_backbone=True, store="device")
+    t_b, m_b = _run(str(tmp_path / "b"), cache_backbone=True, store="device",
+                    store_dtype="int8")
+    assert t_b._acts_filled.all()
+    assert int(t_a.state.step) == int(t_b.state.step)
+    qa = np.asarray(t_a.state.trainable["queries"], np.float32)
+    qb = np.asarray(t_b.state.trainable["queries"], np.float32)
+    assert np.isfinite(qb).all()
+    # epoch 2 reads int8 rows (worst-case elementwise error rowmax/254):
+    # close, not identical — a loose bound that still catches a broken
+    # dequant (which would diverge by O(1), not O(lr))
+    np.testing.assert_allclose(qa, qb, atol=5e-3)
+
+
+def test_cache_store_dtype_validation(tmp_path):
+    with pytest.raises(ValueError, match="cache_store_dtype"):
+        _run(str(tmp_path / "x"), cache_backbone=True, store="device",
+             store_dtype="int4")
+    with pytest.raises(ValueError, match="device pool"):
+        _run(str(tmp_path / "y"), cache_backbone=True, store="disk",
+             store_dtype="int8")
 
 
 def test_auto_store_picks_device_for_small_sets(tmp_path):

@@ -78,6 +78,26 @@ def test_local_scatter_roundtrips_with_gather(mesh):
     np.testing.assert_array_equal(np.asarray(got), written[idxs])
 
 
+def test_local_gather_scatter_2d_pool(mesh):
+    """The helpers accept any trailing rank — the int8 store's per-token
+    scale array is [N, S], not [N, S, D]."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    N, S, B = 16, 8, 8
+    scales = jnp.arange(N * S, dtype=jnp.float32).reshape(N, S)
+    pool = jax.device_put(scales, NamedSharding(mesh, P("data", None)))
+    idxs = next(shard_aligned_batches(N, B, 4, seed=7))
+    got = local_gather(pool, jnp.asarray(idxs), mesh)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(scales)[idxs])
+    assert got.sharding.spec[0] == "data"
+    newv = jnp.full((B, S), -1.0)
+    pool = local_scatter(pool, jnp.asarray(idxs), newv, mesh)
+    np.testing.assert_array_equal(
+        np.asarray(local_gather(pool, jnp.asarray(idxs), mesh)),
+        np.asarray(newv),
+    )
+
+
 def test_gather_feeds_sharded_tail_computation(mesh):
     """The gathered batch composes with a dp-sharded downstream jit."""
     N, S, D, B = 16, 8, 4, 8

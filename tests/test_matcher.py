@@ -100,6 +100,84 @@ def test_hungarian_jit_and_vmap(rng):
         )
 
 
+@pytest.mark.parametrize(
+    "shape", [(4, 17), (8, 100), (16, 576), (3, 9)]
+)
+def test_hungarian_pruned_vs_scipy(rng, shape):
+    """Top-R column pruning is EXACT (optimal total cost), incl. at shapes
+    where R*R >= C falls through to the full solver ((3, 9))."""
+    for trial in range(5):
+        cost = rng.normal(size=shape).astype(np.float32)
+        ours = np.asarray(matcher.hungarian_pruned(jnp.asarray(cost)))
+        ri, ci = linear_sum_assignment(cost)
+        assert len(set(ours.tolist())) == shape[0], "injective"
+        np.testing.assert_allclose(
+            total_cost(cost, ours), cost[ri, ci].sum(), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_hungarian_pruned_duplicate_heavy_ties(rng):
+    """Many identical entries make the per-row top-R unions overlap heavily
+    (the duplicate-disable path) — the optimum must survive."""
+    for trial in range(5):
+        cost = rng.integers(0, 3, size=(6, 50)).astype(np.float32)
+        ours = np.asarray(matcher.hungarian_pruned(jnp.asarray(cost)))
+        ri, ci = linear_sum_assignment(cost)
+        assert len(set(ours.tolist())) == 6
+        np.testing.assert_allclose(total_cost(cost, ours), cost[ri, ci].sum())
+
+
+def test_hungarian_pruned_row_mask(rng):
+    for trial in range(5):
+        cost = rng.normal(size=(10, 120)).astype(np.float32)
+        mask = rng.uniform(size=10) < 0.5
+        if not mask.any():
+            mask[0] = True
+        ours = np.asarray(
+            matcher.hungarian_pruned(jnp.asarray(cost), row_mask=jnp.asarray(mask))
+        )
+        assert (ours[~mask] == -1).all()
+        sub = cost[mask]
+        ri, ci = linear_sum_assignment(sub)
+        valid = ours[mask]
+        assert len(set(valid.tolist())) == mask.sum()
+        np.testing.assert_allclose(
+            sub[np.arange(len(valid)), valid].sum(), sub[ri, ci].sum(),
+            rtol=1e-5, atol=1e-5,
+        )
+
+
+def test_hungarian_pruned_jit_vmap(rng):
+    costs = rng.normal(size=(4, 8, 64)).astype(np.float32)
+    f = jax.jit(jax.vmap(matcher.hungarian_pruned))
+    outs = np.asarray(f(jnp.asarray(costs)))
+    for b in range(4):
+        ri, ci = linear_sum_assignment(costs[b])
+        np.testing.assert_allclose(
+            total_cost(costs[b], outs[b]), costs[b][ri, ci].sum(), rtol=1e-5
+        )
+
+
+def test_match_prune_env_toggle(rng, monkeypatch):
+    """OWLVIT_MATCH_PRUNE=1 routes match() through the pruned solver and
+    produces an equal-cost assignment."""
+    P, C, G_max, n_valid = 36, 5, 8, 5
+    sims = rng.normal(size=(P, C)).astype(np.float32)
+    pred_boxes = _rand_boxes(rng, P)
+    gt_boxes = _rand_boxes(rng, G_max)
+    gt_labels = rng.integers(0, C, size=(G_max,)).astype(np.int32)
+    gt_mask = np.arange(G_max) < n_valid
+    args = (jnp.asarray(sims), jnp.asarray(pred_boxes), jnp.asarray(gt_labels),
+            jnp.asarray(gt_boxes), jnp.asarray(gt_mask))
+    a0, t0 = matcher.match(*args, n_classes=C)
+    monkeypatch.setenv("OWLVIT_MATCH_PRUNE", "1")
+    a1, t1 = matcher.match(*args, n_classes=C)
+    cost = _oracle_cost(sims, pred_boxes, gt_labels[:n_valid], gt_boxes[:n_valid])
+    c0 = cost[np.asarray(a0)[:n_valid], np.arange(n_valid)].sum()
+    c1 = cost[np.asarray(a1)[:n_valid], np.arange(n_valid)].sum()
+    np.testing.assert_allclose(c0, c1, rtol=1e-5)
+
+
 def _oracle_cost(sims, boxes, labels, gt_boxes):
     """Numpy re-derivation of the reference cost (matcher.py:106-131)."""
     e = np.exp(sims - sims.max(-1, keepdims=True))

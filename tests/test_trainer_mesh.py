@@ -95,6 +95,24 @@ def test_mesh_device_store_sharded_pool(tmp_path):
     assert np.all(np.isfinite(_queries(t)))
 
 
+def test_mesh_device_store_int8_pool(tmp_path):
+    """cache_store_dtype=int8 composes with the dp-sharded pool: both
+    leaves ({q, s}) shard their rows on "data" and training stays finite."""
+    t = Trainer(
+        _cfg(str(tmp_path), mesh_data=4, cache_backbone=True,
+             cache_store_dtype="int8"),
+        workdir=str(tmp_path),
+    )
+    metrics = t.run()
+    assert t.act_store == "device"
+    assert isinstance(t._acts_dev, dict)
+    assert t._acts_dev["q"].sharding.spec[0] == "data"
+    assert t._acts_dev["s"].sharding.spec[0] == "data"
+    assert t._acts_filled.all()
+    assert np.isfinite(metrics["map"])
+    assert np.all(np.isfinite(_queries(t)))
+
+
 def test_mesh_indivisible_set_falls_back_to_disk(tmp_path):
     t = Trainer(
         _cfg(str(tmp_path), n_train=10, mesh_data=4, cache_backbone=True,

@@ -32,6 +32,9 @@ os.environ["OWLVIT_FUSED_LN"] = args.get("fused", "0")
 os.environ["OWLVIT_BCE_SHARED"] = args.get("bce", "0")
 if "matchmask" in args:  # r3 diagnostic: force-disable the padded-row skip
     os.environ["OWLVIT_MATCH_SKIP"] = args["matchmask"]
+# prune=1: exact top-G column pruning in the Hungarian solve (matcher.py
+# hungarian_pruned) — A/B via `loss=1 prune=0|1` and `cached=1 prune=0|1`
+os.environ["OWLVIT_MATCH_PRUNE"] = args.get("prune", "0")
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -444,6 +447,158 @@ try:
             imgs_per_sec=round(steps * batch / dt, 2),
             effective_batch=accum * batch,
             loss=float(loss),
+            compile_secs=round(time.time() - t, 1),
+            ok=True,
+        )
+    elif args.get("qcache") == "1":
+        # int8 activation-pool store (training.cache_store_dtype=int8):
+        # measure the gather+dequant tail step against the bf16-pool gather
+        # step IN THE SAME PROCESS (same claim, same compile session), plus
+        # the storage-quantization drift: |loss(int8 acts) - loss(exact)|,
+        # sims/boxes elementwise drift, and the agreement mAP of detections
+        # from dequantized acts scored against exact-acts detections.
+        import numpy as np
+        import optax
+
+        from owlvit_tpu.models import get_config, owlvit
+        from owlvit_tpu.ops import losses as loss_ops
+        from owlvit_tpu.ops import nms as nms_ops
+        from owlvit_tpu.ops.map_metric import MeanAveragePrecision
+        from owlvit_tpu.ops.preprocess import normalize_image
+        from owlvit_tpu.ops.quant import dequantize_rows, quantize_rows
+        from owlvit_tpu.train.state import (
+            TrainState, combine_params, partition_params,
+        )
+        from owlvit_tpu.utils.bench_cached import build_batch
+
+        n_classes = 80
+        cfg = get_config(model, dtype=dtype, trainable_last_k=k or 1)
+        params = owlvit.init(jax.random.PRNGKey(0), cfg, num_queries=3 * n_classes)
+        trainable, frozen = partition_params(params, k or 1)
+        tx = optax.adamw(3e-6, weight_decay=0.1)
+        state = TrainState(trainable, frozen, tx.init(trainable), jnp.int32(0))
+        data = build_batch(cfg, batch, n_classes)
+        rng = np.random.default_rng(0)
+
+        def prefix_step(trainable, frozen, images):
+            p = combine_params(trainable, frozen)
+            return owlvit.embed_prefix(p, cfg, normalize_image(images))
+
+        def tail_step(state, acts, labels, boxes, gt_mask):
+            def loss_fn(trainable):
+                p = combine_params(trainable, state.frozen)
+                pb, sims = owlvit.forward_train_from_prefix(p, cfg, acts)
+                terms = loss_ops.push_pull_loss(
+                    sims, pb, labels, boxes, gt_mask, n_classes
+                )
+                return loss_ops.total_loss(terms), terms
+
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.trainable
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+            return (
+                TrainState(
+                    optax.apply_updates(state.trainable, updates),
+                    state.frozen, opt_state, state.step + 1,
+                ),
+                loss,
+            )
+
+        pstep = jax.jit(prefix_step)
+        acts = pstep(state.trainable, state.frozen, data["image"])
+        jax.block_until_ready(acts)
+        la, bo, gm = data["labels"], data["boxes"], data["gt_mask"]
+        row_bytes = acts[0].nbytes
+        pool = max(batch, min(2500, int(2e9 // row_bytes)))
+        idxs = jnp.asarray(rng.integers(0, batch, (batch,), dtype=np.int64))
+
+        # arm A: bf16 pool (the shipped default), zeros pool + filled rows
+        acts_all = jnp.zeros((pool,) + acts.shape[1:], acts.dtype)
+        acts_all = acts_all.at[:batch].set(acts)
+
+        def gstep_bf16(state, acts_all, idxs, labels, boxes, gt_mask):
+            return tail_step(state, acts_all[idxs], labels, boxes, gt_mask)
+
+        g0 = jax.jit(gstep_bf16, donate_argnums=(0,))
+        state, loss = g0(state, acts_all, idxs, la, bo, gm)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, loss = g0(state, acts_all, idxs, la, bo, gm)
+        jax.block_until_ready(loss)
+        rec["bf16_gather_imgs_per_sec"] = round(
+            steps * batch / (time.perf_counter() - t0), 2
+        )
+        del acts_all
+
+        # arm B: int8 pool {q, s}
+        q, s = jax.jit(quantize_rows)(acts)
+        jax.block_until_ready(q)
+        pool_q = jnp.zeros((pool,) + q.shape[1:], jnp.int8).at[:batch].set(q)
+        pool_s = jnp.zeros((pool,) + s.shape[1:], jnp.float32).at[:batch].set(s)
+
+        def gstep_int8(state, pq, ps, idxs, labels, boxes, gt_mask):
+            a = dequantize_rows(pq[idxs], ps[idxs], jnp.dtype(dtype))
+            return tail_step(state, a, labels, boxes, gt_mask)
+
+        g1 = jax.jit(gstep_int8, donate_argnums=(0,))
+        state, loss_q = g1(state, pool_q, pool_s, idxs, la, bo, gm)
+        jax.block_until_ready(loss_q)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, loss_q = g1(state, pool_q, pool_s, idxs, la, bo, gm)
+        jax.block_until_ready(loss_q)
+        rec["int8_gather_imgs_per_sec"] = round(
+            steps * batch / (time.perf_counter() - t0), 2
+        )
+        rec["pool_imgs"] = int(pool)
+        rec["bf16_pool_mb"] = round(pool * row_bytes / 1e6, 1)
+        rec["int8_pool_mb"] = round(
+            pool * (q[0].nbytes + s[0].nbytes) / 1e6, 1
+        )
+
+        # drift: forward loss + detections, exact vs dequantized acts
+        def fwd_loss(acts):
+            p = combine_params(state.trainable, state.frozen)
+            pb, sims = owlvit.forward_train_from_prefix(p, cfg, acts)
+            terms = loss_ops.push_pull_loss(
+                sims, pb, la, bo, gm, n_classes
+            )
+            return loss_ops.total_loss(terms), (pb, sims)
+
+        f = jax.jit(fwd_loss)
+        deq = jax.jit(
+            lambda q, s: dequantize_rows(q, s, jnp.dtype(dtype))
+        )(q, s)
+        l_exact, (pb0, s0) = f(acts)
+        l_quant, (pb1, s1) = f(deq)
+        jax.block_until_ready((l_exact, l_quant))
+        s0n, s1n = np.asarray(s0, np.float32), np.asarray(s1, np.float32)
+        rec["loss_exact"] = round(float(l_exact), 6)
+        rec["loss_int8"] = round(float(l_quant), 6)
+        rec["sims_mean_abs_drift"] = round(float(np.abs(s1n - s0n).mean()), 6)
+        rec["sims_max_abs_drift"] = round(float(np.abs(s1n - s0n).max()), 6)
+
+        post = lambda b, sm: nms_ops.postprocess(
+            b, sm, confidence_threshold=0.01, iou_threshold=0.6, top_k=200
+        )
+        S_img = cfg.vision.image_size
+        scalev = np.array([S_img] * 4, np.float64)
+        o0 = {k2: np.asarray(v) for k2, v in post(pb0, s0).items()}
+        o1 = {k2: np.asarray(v) for k2, v in post(pb1, s1).items()}
+        m = MeanAveragePrecision(n_classes)
+        for i in range(batch):
+            ka, kb = o1["valid"][i], o0["valid"][i]
+            m.update(
+                o1["boxes"][i][ka] * scalev, o1["scores"][i][ka],
+                o1["classes"][i][ka],
+                o0["boxes"][i][kb] * scalev, o0["classes"][i][kb],
+            )
+        agg = m.compute()
+        rec.update(
+            agreement_map=round(float(agg["map"]), 4),
+            agreement_map_50=round(float(agg["map_50"]), 4),
             compile_secs=round(time.time() - t, 1),
             ok=True,
         )
