@@ -20,6 +20,12 @@ module is the TPU-native serving layer on top of the exported/ckpt detector:
     for batch k.
   * **Latency/throughput knob.** `max_delay_ms` bounds how long the first
     request of a batch waits for co-riders (classic dynamic-batching window).
+  * **Flat wire format.** Transfers happen in device (tiled) layout, so a
+    trailing dim of 3/4/7 pads its lane dimension to 128 on the wire — a
+    [B, S, S, 3] uint8 batch inflates ~42x. Images therefore cross
+    host->device as flat [B, S*S*3] uint8 (reshaped on device) and all
+    detection outputs come back in ONE flat [B, K*7] f32 fetch (three
+    separate fetches each pay a relay round trip).
 
 Thresholds (confidence/IoU/top_k) are compiled constants of the serving
 graph — per-request thresholds would force a retrace; filter client-side on
@@ -99,14 +105,37 @@ class DetectorServer:
         self.image_size = cfg.vision.image_size
         self._params = jax.device_put(params)
 
-        def _serve(p, images_u8):
+        def _serve(p, images_flat_u8):
+            # Wire format: images arrive FLAT [B, S*S*3] and detections leave
+            # FLAT [B, K*7]. The relay transfers arrays in device (tiled)
+            # layout, so a trailing dim of 3 or 4 pads its lane dimension to
+            # 128 — a [B, 768, 768, 3] uint8 batch inflates ~42x on the wire
+            # (the 4-D wire measured ~2 s/batch for 56.6 MB vs the probed
+            # 1.6 GB/s flat link; tools/tpu_transfer_probe.py isolates it).
+            # Flat 2-D buffers keep the lane dim large -> no padding; the
+            # reshape below is a device-side relayout fused into the
+            # normalize/convert.
+            b = images_flat_u8.shape[0]
+            images_u8 = images_flat_u8.reshape(b, S, S, 3)
             boxes, sims = owlvit.forward_train(p, self.cfg,
                                                normalize_image(images_u8))
-            return nms_ops.postprocess(
+            out = nms_ops.postprocess(
                 boxes, sims, confidence_threshold=confidence_threshold,
                 iou_threshold=iou_threshold, top_k=top_k,
             )
+            # One packed f32 tensor -> ONE device->host fetch per batch
+            # (three separate fetches each pay a full relay round trip).
+            # Class ids (<= C << 2^24) and the 0/1 valid flag are exact in f32.
+            packed = jnp.concatenate([
+                out["boxes"],
+                out["scores"][..., None],
+                out["classes"].astype(jnp.float32)[..., None],
+                out["valid"].astype(jnp.float32)[..., None],
+            ], axis=-1)  # [B, K, 7]
+            return packed.reshape(b, -1)
 
+        S = self.image_size
+        self._top_k = top_k
         self._serve = jax.jit(_serve)
         # OWLVIT_SERVE_PHASES=1: time assemble/H2D/exec/fetch per batch
         # (synchronizes between phases — diagnosis only, disables pipelining).
@@ -136,7 +165,7 @@ class DetectorServer:
     def _warmup(self):
         S = self.image_size
         for b in self.buckets:
-            z = jnp.zeros((b, S, S, 3), jnp.uint8)
+            z = jnp.zeros((b, S * S * 3), jnp.uint8)
             jax.block_until_ready(self._serve(self._params, z))
 
     def start(self):
@@ -241,9 +270,12 @@ class DetectorServer:
         bucket = next(b for b in self.buckets if b >= n)
         S = self.image_size
         t0 = time.perf_counter()
-        images = np.zeros((bucket, S, S, 3), np.uint8)
+        # Assemble FLAT [bucket, S*S*3]: each row is a contiguous-view copy;
+        # the flat layout is what keeps the relay transfer unpadded (see
+        # _serve's wire-format comment).
+        images = np.zeros((bucket, S * S * 3), np.uint8)
         for i, req in enumerate(batch):
-            images[i] = req.image
+            images[i] = req.image.reshape(-1)
         if self._debug_phases:
             t1 = time.perf_counter()
             dev = jax.block_until_ready(jnp.asarray(images))
@@ -270,19 +302,20 @@ class DetectorServer:
                 return
             out, batch = item
             tf0 = time.perf_counter()
-            out = jax.tree.map(np.asarray, out)  # blocks until device done
+            packed = np.asarray(out)  # ONE fetch; blocks until device done
             now = time.perf_counter()
             if self._debug_phases:
                 with self._lock:
                     self._stats["phase_secs"]["fetch"] += now - tf0
+            packed = packed.reshape(packed.shape[0], self._top_k, 7)
             for i, req in enumerate(batch):
-                keep = out["valid"][i]
+                keep = packed[i, :, 6] > 0.5
                 w, h = req.orig_wh
                 req.future.set_result({
-                    "boxes": out["boxes"][i][keep]
+                    "boxes": packed[i, keep, :4]
                     * np.array([w, h, w, h], np.float32),
-                    "scores": out["scores"][i][keep],
-                    "classes": out["classes"][i][keep],
+                    "scores": packed[i, keep, 4],
+                    "classes": packed[i, keep, 5].astype(np.int32),
                 })
             with self._lock:
                 self._stats["requests"] += len(batch)

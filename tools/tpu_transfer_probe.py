@@ -1,0 +1,93 @@
+"""Probe transfer LAYOUT/DTYPE costs on the TPU relay (one process).
+
+tpu_h2d_probe.py measured flat bf16 device_put at ~1.6 GB/s, but the
+serving path (serve.py) observed ~2 s per batch for a 56.6 MB
+[32, 768, 768, 3] uint8 host->device transfer and ~2 s for a ~1 MB
+4-array detection fetch — 50-2000x off the probed link rate. Two
+candidate mechanisms, distinguished here:
+
+  (a) wire-format padding: the relay ships arrays in device (tiled)
+      layout, so a trailing dim of 3/4 lane-pads to 128 (~42x bytes);
+  (b) per-RPC overhead: every transfer call pays a fixed relay round
+      trip, so a dict fetch (4 arrays) pays 4x.
+
+Cases (all ~56.6 MB logical unless noted):
+  h2d_4d_u8      [32, 768, 768, 3] uint8   jnp.asarray   (serve's old wire)
+  h2d_flat_u8    [32, 1769472]     uint8   jnp.asarray   (serve's new wire)
+  h2d_1d_u8      [56623104]        uint8   device_put
+  h2d_4d_f32     [32, 768, 768, 3] f32     jnp.asarray   (226 MB logical)
+  h2d_3d_u8      [32, 768, 2304]   uint8   jnp.asarray   (fold the 3 into W)
+  d2h_dict       boxes/scores/classes/valid fetch, 4 np.asarray calls
+  d2h_packed     one [32, 1400] f32 fetch  (serve's new packed output)
+
+Usage: python tools/tpu_transfer_probe.py [reps]   (default 5)
+Appends one JSON line to /tmp/tpu_runs.jsonl.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import sys
+
+reps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+
+(jnp.ones((256, 256)) @ jnp.ones((256, 256))).block_until_ready()
+
+rec = {"name": "transfer_probe", "backend": jax.default_backend(), "reps": reps}
+B, S = 32, 768
+rng = np.random.default_rng(0)
+
+
+def timed(fn):
+    fn()  # warm (layout compile, first-call setup)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        fn()
+    return round((time.perf_counter() - t0) / reps * 1e3, 1)  # ms
+
+
+try:
+    img4 = rng.integers(0, 255, (B, S, S, 3), dtype=np.uint8)
+    imgflat = np.ascontiguousarray(img4.reshape(B, -1))
+    img1d = np.ascontiguousarray(img4.reshape(-1))
+    img3 = np.ascontiguousarray(img4.reshape(B, S, S * 3))
+    img4f = img4.astype(np.float32)
+
+    rec["h2d_4d_u8_ms"] = timed(
+        lambda: jnp.asarray(img4).block_until_ready())
+    rec["h2d_flat_u8_ms"] = timed(
+        lambda: jnp.asarray(imgflat).block_until_ready())
+    rec["h2d_1d_u8_ms"] = timed(
+        lambda: jax.device_put(img1d).block_until_ready())
+    rec["h2d_3d_u8_ms"] = timed(
+        lambda: jnp.asarray(img3).block_until_ready())
+    rec["h2d_4d_f32_ms"] = timed(
+        lambda: jnp.asarray(img4f).block_until_ready())
+
+    # D2H: detection-shaped outputs
+    K = 200
+    boxes = jnp.asarray(rng.random((B, K, 4), np.float32))
+    scores = jnp.asarray(rng.random((B, K), np.float32))
+    classes = jnp.asarray(rng.integers(0, 80, (B, K)), jnp.int32)
+    valid = jnp.asarray(rng.random((B, K)) > 0.5)
+    packed = jnp.asarray(rng.random((B, K * 7), np.float32))
+    jax.block_until_ready((boxes, scores, classes, valid, packed))
+
+    rec["d2h_dict_ms"] = timed(
+        lambda: [np.asarray(x) for x in (boxes, scores, classes, valid)])
+    rec["d2h_packed_ms"] = timed(lambda: np.asarray(packed))
+    rec["d2h_boxes_only_ms"] = timed(lambda: np.asarray(boxes))
+    rec["ok"] = True
+except Exception as e:  # noqa: BLE001
+    rec.update(ok=False, err=repr(e)[:300])
+
+print(json.dumps(rec), flush=True)
+with open("/tmp/tpu_runs.jsonl", "a") as f:
+    f.write(json.dumps(rec) + "\n")
