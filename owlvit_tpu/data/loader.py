@@ -37,6 +37,15 @@ def prefetch_to_device(
     def producer():
         try:
             for batch in iterator:
+                img = batch.get("image")
+                if img is not None and getattr(img, "ndim", 0) == 4:
+                    # FLAT wire format: the relay transfers arrays in device
+                    # (tiled) layout, so [B, S, S, 3]'s trailing 3 lane-pads
+                    # to 128 — ~42x the bytes on the wire. Ship [B, S*S*3]
+                    # (a free host-side view) and let the jitted consumers
+                    # reshape on device (trainer train/eval/prefix steps all
+                    # accept either rank). See tools/tpu_transfer_probe.py.
+                    batch["image"] = img.reshape(img.shape[0], -1)
                 arrays = {
                     k: put(v)
                     for k, v in batch.items()

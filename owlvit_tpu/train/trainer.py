@@ -213,7 +213,21 @@ class Trainer:
             )
         aug_key = jax.random.PRNGKey(aug.seed) if aug.augment else None
 
+        S_img = mcfg.vision.image_size
+
+        def unflatten_images(img):
+            """Accept the loader's FLAT [B, S*S*3] wire format (see
+            data/loader.py — flat uint8 crosses the relay unpadded) or the
+            plain [B, S, S, 3] layout (tools/tests with device-resident
+            batches). Static-rank branch, resolved at trace time."""
+            if img.ndim == 2:
+                return img.reshape(img.shape[0], S_img, S_img, 3)
+            return img
+
+        self._unflatten_images = unflatten_images
+
         def train_step(state: TrainState, batch):
+            batch = {**batch, "image": unflatten_images(batch["image"])}
             if aug.augment:
                 from owlvit_tpu.ops.augment import augment_batch
 
@@ -241,7 +255,7 @@ class Trainer:
 
         def eval_step(trainable, frozen, images):
             params = combine_params(trainable, frozen)
-            px = normalize_image(images)
+            px = normalize_image(unflatten_images(images))
             eval_cfg = mcfg.replace(trainable_last_k=None)
             boxes, sims = owlvit.forward_train(params, eval_cfg, px)
             return nms_ops.postprocess(
@@ -304,6 +318,7 @@ class Trainer:
 
         def prefix_step(trainable, frozen, images):
             params = combine_params(trainable, frozen)
+            images = self._unflatten_images(images)
             return owlvit.embed_prefix(params, mcfg, normalize_image(images))
 
         def tail_loss_update(state, acts, labels, boxes, gt_mask):
