@@ -16,12 +16,16 @@ import jax
 
 
 def prefetch_to_device(
-    iterator: Iterator[dict], size: int = 2, put=None
+    iterator: Iterator[dict], size: int = 2, put=None, host_keys: tuple = ()
 ) -> Iterator[dict]:
     """Wrap a numpy-batch iterator; yields batches already on device.
 
     put: optional transfer fn (e.g. a NamedSharding device_put for mesh
     training) applied to every array value; defaults to jax.device_put.
+    host_keys: extra keys to keep as host numpy. Every device_put and every
+    later np.asarray is a separate relay RPC; values the consumer only reads
+    on the host (eval ground truth, image metadata) must never ride the
+    device at all.
     """
     q: queue.Queue = queue.Queue(maxsize=size)
     _SENTINEL = object()
@@ -32,7 +36,7 @@ def prefetch_to_device(
     # paths are host-only; indices stay host numpy too — trainers consume
     # them for cache bookkeeping on the host, and a put+np.asarray roundtrip
     # would add a per-step D2H sync on the slow relay link.
-    _HOST_KEYS = ("paths", "indices")
+    _HOST_KEYS = ("paths", "indices") + tuple(host_keys)
 
     def producer():
         try:

@@ -258,12 +258,22 @@ class Trainer:
             px = normalize_image(unflatten_images(images))
             eval_cfg = mcfg.replace(trainable_last_k=None)
             boxes, sims = owlvit.forward_train(params, eval_cfg, px)
-            return nms_ops.postprocess(
+            out = nms_ops.postprocess(
                 boxes, sims,
                 confidence_threshold=t.confidence_threshold,
                 iou_threshold=t.iou_threshold,
                 top_k=t.top_k,
             )
+            # Pack into ONE [B, K, 7] f32 tensor -> one device->host fetch
+            # per eval batch (four separate fetches each pay a relay RPC;
+            # same wire protocol as serve.py). Class ids and the 0/1 valid
+            # flag are exact in f32.
+            return jnp.concatenate([
+                out["boxes"],
+                out["scores"][..., None],
+                out["classes"].astype(jnp.float32)[..., None],
+                out["valid"].astype(jnp.float32)[..., None],
+            ], axis=-1)
 
         self.train_step = jax.jit(train_step, donate_argnums=(0,))
         self.eval_step = jax.jit(eval_step)
@@ -700,7 +710,12 @@ class Trainer:
             if self.act_cache is not None:  # disk store host-side swap
                 it = self._with_cached_acts(it)
             for step_i, batch in enumerate(
-                prefetch_to_device(it, put=self._batch_put())
+                prefetch_to_device(
+                    it, put=self._batch_put(),
+                    # metadata the train step never reads — keep off-device
+                    # (each put is a relay RPC)
+                    host_keys=("image_valid", "width", "height"),
+                )
             ):
                 batch.pop("paths", None)
                 batch.pop("image_valid", None)
@@ -769,36 +784,45 @@ class Trainer:
             os.makedirs(debug_dir, exist_ok=True)
 
         it = batch_iterator(self.test_ds, t.batch_size, shuffle=False)
-        for bi, batch in enumerate(prefetch_to_device(it, put=self._batch_put())):
+        # Ground truth and image metadata are consumed on the host only —
+        # host_keys keeps them out of the device round trip entirely (each
+        # device_put / np.asarray is a separate relay RPC).
+        for bi, batch in enumerate(prefetch_to_device(
+            it, put=self._batch_put(),
+            host_keys=("image_valid", "width", "height",
+                       "boxes", "labels", "gt_mask"),
+        )):
             paths = batch.pop("paths", None)
-            out = self.eval_step(
+            packed = np.asarray(self.eval_step(
                 self.state.trainable, self.state.frozen, batch["image"]
-            )
-            out = {k: np.asarray(v) for k, v in out.items()}
-            valid_imgs = np.asarray(batch["image_valid"])
-            widths = np.asarray(batch["width"])
-            heights = np.asarray(batch["height"])
-            gt_boxes = np.asarray(batch["boxes"])
-            gt_labels = np.asarray(batch["labels"])
-            gt_mask = np.asarray(batch["gt_mask"])
+            ))  # [B, K, 7] — one fetch; see eval_step's wire comment
+            valid_imgs = batch["image_valid"]
+            widths = batch["width"]
+            heights = batch["height"]
+            gt_boxes = batch["boxes"]
+            gt_labels = batch["labels"]
+            gt_mask = batch["gt_mask"]
 
             for i in range(len(valid_imgs)):
                 if not valid_imgs[i]:
                     continue
                 w, h = float(widths[i]), float(heights[i])
-                keep = out["valid"][i]
+                keep = packed[i, :, 6] > 0.5
+                det_boxes = packed[i, keep, :4]
+                det_scores = packed[i, keep, 4]
+                det_classes = packed[i, keep, 5].astype(np.int32)
                 scale = np.array([w, h, w, h])
                 metric.update(
-                    out["boxes"][i][keep] * scale,
-                    out["scores"][i][keep],
-                    out["classes"][i][keep],
+                    det_boxes * scale,
+                    det_scores,
+                    det_classes,
                     gt_boxes[i][gt_mask[i]] * scale,
                     gt_labels[i][gt_mask[i]],
                 )
                 if debug_dir and paths:
                     self._save_debug_image(
-                        paths[i], out["boxes"][i][keep] * scale,
-                        out["classes"][i][keep],
+                        paths[i], det_boxes * scale,
+                        det_classes,
                         os.path.join(debug_dir, f"{bi}_{i}.png"),
                     )
         return metric.compute()
