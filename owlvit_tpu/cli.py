@@ -180,12 +180,19 @@ def _cmd_serve(args):
     trainer = Trainer(cfg, workdir=args.workdir)
     params = combine_params(trainer.state.trainable, trainer.state.frozen)
     buckets = tuple(int(b) for b in args.buckets.split(","))
+    tok = None
+    if cfg.model.clip_vocab:  # enables ?queries=... zero-shot serving
+        from owlvit_tpu.data.tokenizer import CLIPTokenizer
+
+        tok = CLIPTokenizer(cfg.model.clip_vocab, cfg.model.clip_merges,
+                            max_len=trainer.model_cfg.text.max_len)
     server = DetectorServer(
         params, trainer.model_cfg, buckets=buckets,
         max_delay_ms=args.max_delay_ms,
         confidence_threshold=cfg.training.confidence_threshold,
         iou_threshold=cfg.training.iou_threshold,
         top_k=cfg.training.top_k,
+        tokenizer=tok,
     )
     print(f"serving {cfg.model.name} on {args.host}:{args.port} "
           f"buckets={buckets} max_delay_ms={args.max_delay_ms}", flush=True)

@@ -30,8 +30,11 @@ module is the TPU-native serving layer on top of the exported/ckpt detector:
 Thresholds (confidence/IoU/top_k) are compiled constants of the serving
 graph — per-request thresholds would force a retrace; filter client-side on
 the returned scores instead. The server serves the trained query bank
-(fixed class set); per-request text queries would need a text-encoder cache
-and are out of scope here (use `cli infer --queries` for ad-hoc zero-shot).
+(fixed class set) by default; with a `tokenizer`, requests may instead carry
+their own free-text queries (zero-shot serving): each distinct string is
+text-encoded once and cached, per-image query matrices are padded to a
+static [max_queries, proj] block, and zero-shot requests batch together on
+a second lane of compiled executables.
 """
 
 from __future__ import annotations
@@ -58,6 +61,7 @@ from owlvit_tpu.ops.preprocess import normalize_image
 class _Request:
     image: np.ndarray  # [S, S, 3] uint8, already model-sized
     orig_wh: tuple  # (w, h) of the client image, for box rescale
+    queries: tuple | None = None  # zero-shot: free-text conditioning
     future: Future = field(default_factory=Future)
     t_enqueue: float = field(default_factory=time.perf_counter)
 
@@ -81,6 +85,11 @@ class DetectorServer:
         latency otherwise includes a full XLA compile).
     autostart : start the dispatcher/completion threads immediately. Tests
         pass False to enqueue a deterministic batch before starting.
+    tokenizer : optional text tokenizer (data.tokenizer.CLIPTokenizer);
+        enables `submit(image, queries=[...])` zero-shot serving. Doubles
+        the warmup compiles (one zero-shot executable per bucket).
+    max_queries : static per-request query capacity of the zero-shot
+        executables (requests are padded+masked up to it).
     """
 
     def __init__(
@@ -96,6 +105,8 @@ class DetectorServer:
         warmup: bool = True,
         autostart: bool = True,
         max_inflight: int = 2,
+        tokenizer=None,
+        max_queries: int = 8,
     ):
         if list(buckets) != sorted(set(buckets)) or buckets[0] < 1:
             raise ValueError(f"buckets must be ascending unique >=1: {buckets}")
@@ -137,6 +148,51 @@ class DetectorServer:
         S = self.image_size
         self._top_k = top_k
         self._serve = jax.jit(_serve)
+
+        # --- zero-shot (free-text) serving --------------------------------
+        # Requests may carry their own query strings (open-vocabulary
+        # detection, OWL-ViT's native mode — HF modeling_owlvit.py:1560+).
+        # Per-image query matrices batch cleanly: the class head is
+        # logits[b] = f(feats[b], qemb[b]) (einsum bpd,bqd->bpq), so every
+        # request in a batch conditions on its OWN padded [max_queries, proj]
+        # block with a mask. Text embeddings are encoded once per distinct
+        # string (host LRU) via build_query_bank — identical math to
+        # forward_zero_shot's text leg (normalize is idempotent).
+        self._tok = tokenizer
+        self._max_queries = int(max_queries)
+        self._text_cache: dict = {}
+        self._serve_zs = None
+        if tokenizer is not None:
+            proj = cfg.projection_dim
+
+            def _encode(p, ids, mask):
+                return owlvit.build_query_bank(p, self.cfg, ids, mask)
+
+            self._encode_text = jax.jit(_encode)
+
+            def _serve_zs(p, images_flat_u8, qemb, qmask):
+                b = images_flat_u8.shape[0]
+                images_u8 = images_flat_u8.reshape(b, S, S, 3)
+                feats = owlvit.image_embedder(
+                    p, self.cfg, normalize_image(images_u8)
+                )
+                boxes = owlvit.box_predictor(p, self.cfg, feats)
+                logits = owlvit.class_predictor(p, self.cfg, feats, qemb, qmask)
+                sims = jax.nn.sigmoid(logits)  # HF decode protocol
+                out = nms_ops.postprocess(
+                    boxes, sims, confidence_threshold=confidence_threshold,
+                    iou_threshold=iou_threshold, top_k=top_k,
+                )
+                packed = jnp.concatenate([
+                    out["boxes"],
+                    out["scores"][..., None],
+                    out["classes"].astype(jnp.float32)[..., None],
+                    out["valid"].astype(jnp.float32)[..., None],
+                ], axis=-1)
+                return packed.reshape(b, -1)
+
+            self._serve_zs = jax.jit(_serve_zs)
+            self._proj = proj
         # OWLVIT_SERVE_PHASES=1: time assemble/H2D/exec/fetch per batch
         # (synchronizes between phases — diagnosis only, disables pipelining).
         self._debug_phases = os.environ.get("OWLVIT_SERVE_PHASES") == "1"
@@ -145,7 +201,7 @@ class DetectorServer:
         self._done_q: queue.Queue = queue.Queue(maxsize=max_inflight)
         self._lock = threading.Lock()
         self._stats = {
-            "requests": 0, "batches": 0, "padded_rows": 0,
+            "requests": 0, "batches": 0, "zs_batches": 0, "padded_rows": 0,
             "bucket_counts": {b: 0 for b in self.buckets},
         }
         if self._debug_phases:
@@ -167,6 +223,10 @@ class DetectorServer:
         for b in self.buckets:
             z = jnp.zeros((b, S * S * 3), jnp.uint8)
             jax.block_until_ready(self._serve(self._params, z))
+            if self._serve_zs is not None:
+                qe = jnp.zeros((b, self._max_queries, self._proj), jnp.float32)
+                qm = jnp.zeros((b, self._max_queries), jnp.int32)
+                jax.block_until_ready(self._serve_zs(self._params, z, qe, qm))
 
     def start(self):
         if self._threads:
@@ -192,7 +252,7 @@ class DetectorServer:
 
     # --------------------------------------------------------------- clients
 
-    def submit(self, image: np.ndarray) -> Future:
+    def submit(self, image: np.ndarray, queries=None) -> Future:
         """Enqueue one RGB uint8 [H, W, 3] image; returns a Future.
 
         The future resolves to
@@ -201,7 +261,25 @@ class DetectorServer:
         Images not already model-sized are bicubic-resized host-side (the
         reference's preprocessing protocol, HF image_processing_owlvit —
         square resize, no aspect preservation).
+
+        queries: optional list of free-text strings — the request is served
+        zero-shot, conditioned on its OWN queries (batched with other
+        zero-shot requests; `classes` then index into `queries` and the
+        result gains a `labels` list). Requires the server's `tokenizer`.
         """
+        if queries is not None:
+            if self._tok is None:
+                raise ValueError(
+                    "zero-shot submit(queries=...) requires DetectorServer("
+                    "tokenizer=...) — pass a CLIPTokenizer (or HashTokenizer "
+                    "for tests)"
+                )
+            if not 1 <= len(queries) <= self._max_queries:
+                raise ValueError(
+                    f"got {len(queries)} queries; serving compiles for "
+                    f"1..{self._max_queries} (max_queries)"
+                )
+            queries = tuple(str(q) for q in queries)
         if image.ndim != 3 or image.shape[-1] != 3:
             raise ValueError(f"expected [H, W, 3] RGB, got {image.shape}")
         h, w = image.shape[:2]
@@ -213,13 +291,14 @@ class DetectorServer:
                 Image.fromarray(np.ascontiguousarray(image, np.uint8))
                 .resize((S, S), Image.BICUBIC), np.uint8,
             )
-        req = _Request(np.ascontiguousarray(image, np.uint8), (w, h))
+        req = _Request(np.ascontiguousarray(image, np.uint8), (w, h), queries)
         self._q.put(req)
         return req.future
 
-    def detect(self, image: np.ndarray, timeout: float | None = None) -> dict:
+    def detect(self, image: np.ndarray, queries=None,
+               timeout: float | None = None) -> dict:
         """Synchronous convenience wrapper around `submit`."""
-        return self.submit(image).result(timeout=timeout)
+        return self.submit(image, queries=queries).result(timeout=timeout)
 
     def stats(self) -> dict:
         with self._lock:
@@ -242,30 +321,63 @@ class DetectorServer:
     # ----------------------------------------------------------- worker side
 
     def _dispatch_loop(self):
+        # Two lanes: query-bank requests and zero-shot requests compile to
+        # different executables, so a batch must be homogeneous. Each lane
+        # dispatches when its bucket fills or its OLDEST request's delay
+        # window expires — one lane's traffic never delays the other's
+        # deadline.
         max_b = self.buckets[-1]
-        while True:
-            first = self._q.get()
-            if first is None:
-                self._done_q.put(None)
-                return
-            batch = [first]
-            deadline = time.perf_counter() + self.max_delay_s
-            while len(batch) < max_b:
-                remaining = deadline - time.perf_counter()
-                try:
-                    # remaining <= 0 still drains anything already queued.
-                    nxt = self._q.get(timeout=max(remaining, 0)) \
-                        if remaining > 0 else self._q.get_nowait()
-                except queue.Empty:
-                    break
-                if nxt is None:
-                    self._dispatch(batch)
-                    self._done_q.put(None)
-                    return
-                batch.append(nxt)
-            self._dispatch(batch)
+        pend = {False: deque(), True: deque()}  # key: is zero-shot
+        stop = False
+        _EMPTY = object()
+        while not stop or pend[False] or pend[True]:
+            heads = [d[0].t_enqueue for d in pend.values() if d]
+            timeout = (
+                None if not heads
+                else max(0.0, min(heads) + self.max_delay_s - time.perf_counter())
+            )
+            try:
+                nxt = (
+                    self._q.get(timeout=timeout)
+                    if timeout is None or timeout > 0
+                    else self._q.get_nowait()
+                )
+            except queue.Empty:
+                nxt = _EMPTY
+            if nxt is None:
+                stop = True
+            elif nxt is not _EMPTY:
+                pend[nxt.queries is not None].append(nxt)
+            now = time.perf_counter()
+            for is_zs in (False, True):
+                d = pend[is_zs]
+                while d and (
+                    len(d) >= max_b
+                    or stop
+                    or d[0].t_enqueue + self.max_delay_s <= now
+                ):
+                    batch = [d.popleft() for _ in range(min(len(d), max_b))]
+                    self._dispatch(batch, is_zs)
+        self._done_q.put(None)
 
-    def _dispatch(self, batch: list):
+    def _embed_queries(self, queries: tuple) -> np.ndarray:
+        """Normalized text embeddings [len(queries), proj], one device
+        encode per DISTINCT string ever seen (host cache) — steady-state
+        zero-shot traffic does no text-tower work at all."""
+        out = []
+        for q in queries:
+            e = self._text_cache.get(q)
+            if e is None:
+                enc = self._tok([q])
+                e = np.asarray(self._encode_text(
+                    self._params, jnp.asarray(enc["input_ids"]),
+                    jnp.asarray(enc["attention_mask"]),
+                ))[0]
+                self._text_cache[q] = e
+            out.append(e)
+        return np.stack(out)
+
+    def _dispatch(self, batch: list, is_zs: bool = False):
         n = len(batch)
         bucket = next(b for b in self.buckets if b >= n)
         S = self.image_size
@@ -276,11 +388,23 @@ class DetectorServer:
         images = np.zeros((bucket, S * S * 3), np.uint8)
         for i, req in enumerate(batch):
             images[i] = req.image.reshape(-1)
+        if is_zs:
+            qemb = np.zeros((bucket, self._max_queries, self._proj), np.float32)
+            qmask = np.zeros((bucket, self._max_queries), np.int32)
+            for i, req in enumerate(batch):
+                e = self._embed_queries(req.queries)
+                qemb[i, : len(e)] = e
+                qmask[i, : len(e)] = 1
+            call = lambda dev: self._serve_zs(  # noqa: E731
+                self._params, dev, jnp.asarray(qemb), jnp.asarray(qmask)
+            )
+        else:
+            call = lambda dev: self._serve(self._params, dev)  # noqa: E731
         if self._debug_phases:
             t1 = time.perf_counter()
             dev = jax.block_until_ready(jnp.asarray(images))
             t2 = time.perf_counter()
-            out = jax.block_until_ready(self._serve(self._params, dev))
+            out = jax.block_until_ready(call(dev))
             t3 = time.perf_counter()
             with self._lock:
                 ph = self._stats["phase_secs"]
@@ -288,9 +412,10 @@ class DetectorServer:
                 ph["h2d"] += t2 - t1
                 ph["exec"] += t3 - t2
         else:
-            out = self._serve(self._params, jnp.asarray(images))  # async
+            out = call(jnp.asarray(images))  # async
         with self._lock:
             self._stats["batches"] += 1
+            self._stats["zs_batches"] += int(is_zs)
             self._stats["padded_rows"] += bucket - n
             self._stats["bucket_counts"][bucket] += 1
         self._done_q.put((out, batch))
@@ -311,12 +436,15 @@ class DetectorServer:
             for i, req in enumerate(batch):
                 keep = packed[i, :, 6] > 0.5
                 w, h = req.orig_wh
-                req.future.set_result({
+                res = {
                     "boxes": packed[i, keep, :4]
                     * np.array([w, h, w, h], np.float32),
                     "scores": packed[i, keep, 4],
                     "classes": packed[i, keep, 5].astype(np.int32),
-                })
+                }
+                if req.queries is not None:  # classes index req.queries
+                    res["labels"] = [req.queries[c] for c in res["classes"]]
+                req.future.set_result(res)
             with self._lock:
                 self._stats["requests"] += len(batch)
                 self._latency.extend(now - r.t_enqueue for r in batch)
@@ -344,8 +472,21 @@ def make_app(server: DetectorServer, labelmap: dict | None = None):
             img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
         except Exception:  # noqa: BLE001 — malformed upload is a client error
             return web.json_response({"error": "undecodable image"}, status=400)
-        res = await asyncio.wrap_future(server.submit(img))
-        names = labelmap or {}
+        # ?queries=cat,dog -> zero-shot serving conditioned on these strings
+        qparam = request.query.get("queries")
+        queries = (
+            [q.strip() for q in qparam.split(",") if q.strip()]
+            if qparam else None
+        )
+        try:
+            fut = server.submit(img, queries=queries)
+        except ValueError as e:  # no tokenizer / too many queries
+            return web.json_response({"error": str(e)}, status=400)
+        res = await asyncio.wrap_future(fut)
+        names = (
+            {i: q for i, q in enumerate(queries)} if queries
+            else (labelmap or {})
+        )
         return web.json_response({
             "detections": [
                 {

@@ -165,3 +165,138 @@ def test_http_frontend(detector):
         # HTTP result must agree with the in-process path
         direct = srv.detect(img, timeout=120)
     assert len(dets) == len(direct["boxes"])
+
+
+# ------------------------------------------------------- zero-shot serving
+
+
+def _zs_direct(params, cfg, images, tok, queries, top_k=16):
+    """Reference: forward_zero_shot + sigmoid + postprocess, one shared
+    query set (the serving path computes per-image query matrices via the
+    cached build_query_bank embeddings — mathematically identical)."""
+    enc = tok(list(queries))
+    boxes, logits = owlvit.forward_zero_shot(
+        params, cfg.replace(trainable_last_k=None),
+        normalize_image(jnp.asarray(images)),
+        jnp.asarray(enc["input_ids"]), jnp.asarray(enc["attention_mask"]),
+    )
+    sims = jax.nn.sigmoid(logits)
+    return jax.tree.map(np.asarray, nms_ops.postprocess(
+        boxes, sims, confidence_threshold=0.01, iou_threshold=0.6,
+        top_k=top_k))
+
+
+def _hash_tok(cfg):
+    from owlvit_tpu.data.tokenizer import HashTokenizer
+
+    return HashTokenizer(cfg.text.vocab_size, max_len=cfg.text.max_len)
+
+
+def test_zero_shot_matches_direct(detector):
+    """submit(queries=...) must reproduce forward_zero_shot + postprocess:
+    per-request padded query matrices + masking change nothing."""
+    params, cfg = detector
+    S = cfg.vision.image_size
+    images = _rand_images(2, S, seed=11)
+    queries = ("a red box", "a striped circle", "something else")
+    tok = _hash_tok(cfg)
+    ref = _zs_direct(params, cfg, images, tok, queries)
+
+    with DetectorServer(params, cfg, buckets=(4,), max_delay_ms=20,
+                        top_k=16, warmup=False, tokenizer=tok,
+                        max_queries=5) as srv:
+        futs = [srv.submit(img, queries=list(queries)) for img in images]
+        results = [f.result(timeout=120) for f in futs]
+
+    for i, res in enumerate(results):
+        keep = ref["valid"][i]
+        np.testing.assert_allclose(
+            res["boxes"] / S, ref["boxes"][i][keep], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            res["scores"], ref["scores"][i][keep], rtol=1e-4, atol=1e-5)
+        assert (res["classes"] == ref["classes"][i][keep]).all()
+        assert res["labels"] == [queries[c] for c in res["classes"]]
+    # one text encode per DISTINCT string, cached across requests
+    assert len(srv._text_cache) == len(queries)
+
+
+def test_mixed_bank_and_zero_shot_traffic(detector):
+    """Bank and zero-shot requests ride separate batches of the same server
+    and both resolve correctly."""
+    params, cfg = detector
+    S = cfg.vision.image_size
+    images = _rand_images(4, S, seed=12)
+    tok = _hash_tok(cfg)
+    ref_bank = _direct(params, cfg, images[:2])
+    ref_zs = _zs_direct(params, cfg, images[2:], tok, ("thing",))
+
+    with DetectorServer(params, cfg, buckets=(2,), max_delay_ms=20,
+                        top_k=16, warmup=False, tokenizer=tok,
+                        max_queries=2) as srv:
+        f_bank = [srv.submit(img) for img in images[:2]]
+        f_zs = [srv.submit(img, queries=["thing"]) for img in images[2:]]
+        r_bank = [f.result(timeout=120) for f in f_bank]
+        r_zs = [f.result(timeout=120) for f in f_zs]
+        st = srv.stats()
+
+    assert st["zs_batches"] >= 1 and st["batches"] > st["zs_batches"]
+    for i, res in enumerate(r_bank):
+        keep = ref_bank["valid"][i]
+        np.testing.assert_allclose(
+            res["scores"], ref_bank["scores"][i][keep], rtol=1e-4, atol=1e-5)
+        assert "labels" not in res
+    for i, res in enumerate(r_zs):
+        keep = ref_zs["valid"][i]
+        np.testing.assert_allclose(
+            res["scores"], ref_zs["scores"][i][keep], rtol=1e-4, atol=1e-5)
+        assert res["labels"] == ["thing"] * len(res["classes"])
+
+
+def test_zero_shot_guards(detector):
+    """No tokenizer -> ValueError; too many queries -> ValueError."""
+    params, cfg = detector
+    S = cfg.vision.image_size
+    img = _rand_images(1, S)[0]
+    srv = DetectorServer(params, cfg, buckets=(1,), warmup=False,
+                        autostart=False)
+    with pytest.raises(ValueError, match="tokenizer"):
+        srv.submit(img, queries=["x"])
+    tok = _hash_tok(cfg)
+    srv2 = DetectorServer(params, cfg, buckets=(1,), warmup=False,
+                          autostart=False, tokenizer=tok, max_queries=2)
+    with pytest.raises(ValueError, match="queries"):
+        srv2.submit(img, queries=["a", "b", "c"])
+
+
+def test_http_zero_shot_queries_param(detector):
+    """POST /detect?queries=a,b rides the zero-shot lane; class_name comes
+    from the request's own queries. Without a tokenizer the server returns
+    a 400 instead of crashing."""
+    from aiohttp.test_utils import TestClient, TestServer
+    from PIL import Image
+
+    params, cfg = detector
+    S = cfg.vision.image_size
+    img = _rand_images(1, S, seed=6)[0]
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    async def run(srv, expect_status):
+        app = make_app(srv, labelmap={0: "bankthing"})
+        async with TestClient(TestServer(app)) as client:
+            r = await client.post("/detect?queries=a%20cat,a%20dog", data=png)
+            assert r.status == expect_status
+            return (await r.json()) if r.status == 200 else None
+
+    tok = _hash_tok(cfg)
+    with DetectorServer(params, cfg, buckets=(1,), max_delay_ms=1,
+                        top_k=8, warmup=False, tokenizer=tok,
+                        max_queries=4) as srv:
+        out = asyncio.run(run(srv, 200))
+    names = {d["class_name"] for d in out["detections"]}
+    assert names <= {"a cat", "a dog"} and out["detections"]
+
+    with DetectorServer(params, cfg, buckets=(1,), max_delay_ms=1,
+                        top_k=8, warmup=False) as srv:  # no tokenizer
+        assert asyncio.run(run(srv, 400)) is None
