@@ -193,6 +193,7 @@ def _cmd_serve(args):
         iou_threshold=cfg.training.iou_threshold,
         top_k=cfg.training.top_k,
         tokenizer=tok,
+        one_shot=args.one_shot,
     )
     print(f"serving {cfg.model.name} on {args.host}:{args.port} "
           f"buckets={buckets} max_delay_ms={args.max_delay_ms}", flush=True)
@@ -270,6 +271,8 @@ def main(argv=None):
                     help="compiled batch sizes (comma-separated, ascending)")
     sp.add_argument("--max-delay-ms", type=float, default=5.0,
                     help="dynamic-batching window for partial batches")
+    sp.add_argument("--one-shot", action="store_true",
+                    help="compile the one-shot (query_image) lane too")
     sp.set_defaults(fn=_cmd_serve)
 
     sp = sub.add_parser("convert")

@@ -62,8 +62,15 @@ class _Request:
     image: np.ndarray  # [S, S, 3] uint8, already model-sized
     orig_wh: tuple  # (w, h) of the client image, for box rescale
     queries: tuple | None = None  # zero-shot: free-text conditioning
+    qimage: np.ndarray | None = None  # one-shot: exemplar image, model-sized
+    qdigest: str | None = None  # cache key for the exemplar's embedding
     future: Future = field(default_factory=Future)
     t_enqueue: float = field(default_factory=time.perf_counter)
+
+    @property
+    def conditioned(self) -> bool:
+        """True when the request rides the query-conditioned lane."""
+        return self.queries is not None or self.qimage is not None
 
 
 class DetectorServer:
@@ -90,6 +97,9 @@ class DetectorServer:
         the warmup compiles (one zero-shot executable per bucket).
     max_queries : static per-request query capacity of the zero-shot
         executables (requests are padded+masked up to it).
+    one_shot : enable `submit(image, query_image=...)` image-guided
+        detection (exemplar embeddings cached by image digest; rides the
+        query-conditioned lane with one query slot).
     """
 
     def __init__(
@@ -107,6 +117,7 @@ class DetectorServer:
         max_inflight: int = 2,
         tokenizer=None,
         max_queries: int = 8,
+        one_shot: bool = False,
     ):
         if list(buckets) != sorted(set(buckets)) or buckets[0] < 1:
             raise ValueError(f"buckets must be ascending unique >=1: {buckets}")
@@ -149,26 +160,37 @@ class DetectorServer:
         self._top_k = top_k
         self._serve = jax.jit(_serve)
 
-        # --- zero-shot (free-text) serving --------------------------------
+        # --- query-conditioned serving (zero-shot text / one-shot image) --
         # Requests may carry their own query strings (open-vocabulary
-        # detection, OWL-ViT's native mode — HF modeling_owlvit.py:1560+).
+        # detection, OWL-ViT's native mode — HF modeling_owlvit.py:1560+) or
+        # an exemplar image (image-guided detection, :1425+).
         # Per-image query matrices batch cleanly: the class head is
         # logits[b] = f(feats[b], qemb[b]) (einsum bpd,bqd->bpq), so every
         # request in a batch conditions on its OWN padded [max_queries, proj]
-        # block with a mask. Text embeddings are encoded once per distinct
-        # string (host LRU) via build_query_bank — identical math to
-        # forward_zero_shot's text leg (normalize is idempotent).
+        # block with a mask — text and image queries share one lane of
+        # compiled executables (class_predictor normalizes both). Text
+        # embeddings are encoded once per distinct string, exemplar
+        # embeddings once per distinct image digest (host caches).
         self._tok = tokenizer
+        self._one_shot = bool(one_shot)
         self._max_queries = int(max_queries)
         self._text_cache: dict = {}
+        self._qimg_cache: dict = {}
         self._serve_zs = None
-        if tokenizer is not None:
+        if tokenizer is not None or one_shot:
             proj = cfg.projection_dim
 
             def _encode(p, ids, mask):
                 return owlvit.build_query_bank(p, self.cfg, ids, mask)
 
             self._encode_text = jax.jit(_encode)
+
+            def _embed_qimage(p, qflat_u8):
+                qpx = normalize_image(qflat_u8.reshape(1, S, S, 3))
+                emb, _, _ = owlvit.embed_image_query(p, self.cfg, qpx)
+                return emb[0]  # [proj], un-normalized (class head normalizes)
+
+            self._embed_qimage = jax.jit(_embed_qimage)
 
             def _serve_zs(p, images_flat_u8, qemb, qmask):
                 b = images_flat_u8.shape[0]
@@ -227,6 +249,9 @@ class DetectorServer:
                 qe = jnp.zeros((b, self._max_queries, self._proj), jnp.float32)
                 qm = jnp.zeros((b, self._max_queries), jnp.int32)
                 jax.block_until_ready(self._serve_zs(self._params, z, qe, qm))
+        if self._one_shot:
+            zq = jnp.zeros((1, S * S * 3), jnp.uint8)
+            jax.block_until_ready(self._embed_qimage(self._params, zq))
 
     def start(self):
         if self._threads:
@@ -252,7 +277,21 @@ class DetectorServer:
 
     # --------------------------------------------------------------- clients
 
-    def submit(self, image: np.ndarray, queries=None) -> Future:
+    def _model_sized(self, image: np.ndarray, what: str) -> np.ndarray:
+        if image.ndim != 3 or image.shape[-1] != 3:
+            raise ValueError(f"expected [H, W, 3] RGB {what}, got {image.shape}")
+        S = self.image_size
+        if image.shape[:2] != (S, S):
+            from PIL import Image
+
+            image = np.asarray(
+                Image.fromarray(np.ascontiguousarray(image, np.uint8))
+                .resize((S, S), Image.BICUBIC), np.uint8,
+            )
+        return np.ascontiguousarray(image, np.uint8)
+
+    def submit(self, image: np.ndarray, queries=None,
+               query_image: np.ndarray | None = None) -> Future:
         """Enqueue one RGB uint8 [H, W, 3] image; returns a Future.
 
         The future resolves to
@@ -264,9 +303,16 @@ class DetectorServer:
 
         queries: optional list of free-text strings — the request is served
         zero-shot, conditioned on its OWN queries (batched with other
-        zero-shot requests; `classes` then index into `queries` and the
-        result gains a `labels` list). Requires the server's `tokenizer`.
+        query-conditioned requests; `classes` then index into `queries` and
+        the result gains a `labels` list). Requires the server's `tokenizer`.
+
+        query_image: optional exemplar RGB uint8 image — one-shot
+        (image-guided) detection of the exemplar's most salient object
+        (`classes` are all 0, `labels` all "query-object"). Requires
+        `one_shot=True`. Mutually exclusive with `queries`.
         """
+        if queries is not None and query_image is not None:
+            raise ValueError("pass queries OR query_image, not both")
         if queries is not None:
             if self._tok is None:
                 raise ValueError(
@@ -280,25 +326,30 @@ class DetectorServer:
                     f"1..{self._max_queries} (max_queries)"
                 )
             queries = tuple(str(q) for q in queries)
-        if image.ndim != 3 or image.shape[-1] != 3:
-            raise ValueError(f"expected [H, W, 3] RGB, got {image.shape}")
-        h, w = image.shape[:2]
-        S = self.image_size
-        if (h, w) != (S, S):
-            from PIL import Image
+        qdigest = None
+        if query_image is not None:
+            if not self._one_shot:
+                raise ValueError(
+                    "one-shot submit(query_image=...) requires "
+                    "DetectorServer(one_shot=True)"
+                )
+            query_image = self._model_sized(query_image, "query_image")
+            import hashlib
 
-            image = np.asarray(
-                Image.fromarray(np.ascontiguousarray(image, np.uint8))
-                .resize((S, S), Image.BICUBIC), np.uint8,
-            )
-        req = _Request(np.ascontiguousarray(image, np.uint8), (w, h), queries)
+            qdigest = hashlib.sha1(query_image.tobytes()).hexdigest()
+        h, w = image.shape[:2] if image.ndim == 3 else (0, 0)
+        image = self._model_sized(image, "image")
+        req = _Request(image, (w, h), queries, query_image, qdigest)
         self._q.put(req)
         return req.future
 
     def detect(self, image: np.ndarray, queries=None,
+               query_image: np.ndarray | None = None,
                timeout: float | None = None) -> dict:
         """Synchronous convenience wrapper around `submit`."""
-        return self.submit(image, queries=queries).result(timeout=timeout)
+        return self.submit(
+            image, queries=queries, query_image=query_image
+        ).result(timeout=timeout)
 
     def stats(self) -> dict:
         with self._lock:
@@ -347,7 +398,7 @@ class DetectorServer:
             if nxt is None:
                 stop = True
             elif nxt is not _EMPTY:
-                pend[nxt.queries is not None].append(nxt)
+                pend[nxt.conditioned].append(nxt)
             now = time.perf_counter()
             for is_zs in (False, True):
                 d = pend[is_zs]
@@ -392,7 +443,17 @@ class DetectorServer:
             qemb = np.zeros((bucket, self._max_queries, self._proj), np.float32)
             qmask = np.zeros((bucket, self._max_queries), np.int32)
             for i, req in enumerate(batch):
-                e = self._embed_queries(req.queries)
+                if req.queries is not None:
+                    e = self._embed_queries(req.queries)
+                else:  # one-shot: exemplar embedding, cached by digest
+                    e = self._qimg_cache.get(req.qdigest)
+                    if e is None:
+                        e = np.asarray(self._embed_qimage(
+                            self._params,
+                            jnp.asarray(req.qimage.reshape(1, -1)),
+                        ))
+                        self._qimg_cache[req.qdigest] = e
+                    e = e[None]  # [1, proj]
                 qemb[i, : len(e)] = e
                 qmask[i, : len(e)] = 1
             call = lambda dev: self._serve_zs(  # noqa: E731
@@ -444,6 +505,8 @@ class DetectorServer:
                 }
                 if req.queries is not None:  # classes index req.queries
                     res["labels"] = [req.queries[c] for c in res["classes"]]
+                elif req.qimage is not None:  # one-shot: single query slot
+                    res["labels"] = ["query-object"] * len(res["classes"])
                 req.future.set_result(res)
             with self._lock:
                 self._stats["requests"] += len(batch)
@@ -466,10 +529,20 @@ def make_app(server: DetectorServer, labelmap: dict | None = None):
     from aiohttp import web
     from PIL import Image
 
+    def _decode(data):
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+
     async def detect(request: "web.Request"):
-        data = await request.read()
+        qimg = None
         try:
-            img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+            if request.content_type == "multipart/form-data":
+                # one-shot: fields `image` + `query_image` (both PNG/JPEG)
+                form = await request.post()
+                img = _decode(form["image"].file.read())
+                if "query_image" in form:
+                    qimg = _decode(form["query_image"].file.read())
+            else:
+                img = _decode(await request.read())
         except Exception:  # noqa: BLE001 — malformed upload is a client error
             return web.json_response({"error": "undecodable image"}, status=400)
         # ?queries=cat,dog -> zero-shot serving conditioned on these strings
@@ -479,14 +552,16 @@ def make_app(server: DetectorServer, labelmap: dict | None = None):
             if qparam else None
         )
         try:
-            fut = server.submit(img, queries=queries)
-        except ValueError as e:  # no tokenizer / too many queries
+            fut = server.submit(img, queries=queries, query_image=qimg)
+        except ValueError as e:  # no tokenizer / too many queries / both
             return web.json_response({"error": str(e)}, status=400)
         res = await asyncio.wrap_future(fut)
-        names = (
-            {i: q for i, q in enumerate(queries)} if queries
-            else (labelmap or {})
-        )
+        if queries:
+            names = {i: q for i, q in enumerate(queries)}
+        elif qimg is not None:
+            names = {0: "query-object"}
+        else:
+            names = labelmap or {}
         return web.json_response({
             "detections": [
                 {

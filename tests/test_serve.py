@@ -300,3 +300,87 @@ def test_http_zero_shot_queries_param(detector):
     with DetectorServer(params, cfg, buckets=(1,), max_delay_ms=1,
                         top_k=8, warmup=False) as srv:  # no tokenizer
         assert asyncio.run(run(srv, 400)) is None
+
+
+def test_one_shot_matches_direct(detector):
+    """submit(query_image=...) must reproduce forward_one_shot + sigmoid +
+    postprocess; exemplar embeddings cache by image digest."""
+    params, cfg = detector
+    S = cfg.vision.image_size
+    images = _rand_images(2, S, seed=21)
+    qimg = _rand_images(1, S, seed=22)[0]
+
+    boxes, logits = owlvit.forward_one_shot(
+        params, cfg.replace(trainable_last_k=None),
+        normalize_image(jnp.asarray(images)),
+        normalize_image(jnp.asarray(np.stack([qimg, qimg]))),
+    )
+    ref = jax.tree.map(np.asarray, nms_ops.postprocess(
+        boxes, jax.nn.sigmoid(logits), confidence_threshold=0.01,
+        iou_threshold=0.6, top_k=16))
+
+    with DetectorServer(params, cfg, buckets=(2,), max_delay_ms=20,
+                        top_k=16, warmup=False, one_shot=True) as srv:
+        futs = [srv.submit(img, query_image=qimg) for img in images]
+        results = [f.result(timeout=120) for f in futs]
+
+    for i, res in enumerate(results):
+        keep = ref["valid"][i]
+        np.testing.assert_allclose(
+            res["boxes"] / S, ref["boxes"][i][keep], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            res["scores"], ref["scores"][i][keep], rtol=1e-4, atol=1e-5)
+        assert res["labels"] == ["query-object"] * len(res["classes"])
+    assert len(srv._qimg_cache) == 1  # same exemplar -> one device embed
+
+
+def test_one_shot_guards(detector):
+    """query_image without one_shot=True -> ValueError; queries+query_image
+    together -> ValueError."""
+    params, cfg = detector
+    S = cfg.vision.image_size
+    img = _rand_images(1, S)[0]
+    srv = DetectorServer(params, cfg, buckets=(1,), warmup=False,
+                         autostart=False)
+    with pytest.raises(ValueError, match="one_shot"):
+        srv.submit(img, query_image=img)
+    tok = _hash_tok(cfg)
+    srv2 = DetectorServer(params, cfg, buckets=(1,), warmup=False,
+                          autostart=False, tokenizer=tok, one_shot=True)
+    with pytest.raises(ValueError, match="not both"):
+        srv2.submit(img, queries=["x"], query_image=img)
+
+
+def test_http_one_shot_multipart(detector):
+    """Multipart POST /detect with image + query_image rides the one-shot
+    lane; class_name is query-object."""
+    import aiohttp
+    from aiohttp.test_utils import TestClient, TestServer
+    from PIL import Image
+
+    params, cfg = detector
+    S = cfg.vision.image_size
+
+    def png(arr):
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return buf.getvalue()
+
+    img, qimg = _rand_images(2, S, seed=23)
+
+    async def run(srv):
+        app = make_app(srv, labelmap={0: "bankthing"})
+        async with TestClient(TestServer(app)) as client:
+            form = aiohttp.FormData()
+            form.add_field("image", png(img), filename="i.png",
+                           content_type="image/png")
+            form.add_field("query_image", png(qimg), filename="q.png",
+                           content_type="image/png")
+            r = await client.post("/detect", data=form)
+            assert r.status == 200
+            return (await r.json())["detections"]
+
+    with DetectorServer(params, cfg, buckets=(1,), max_delay_ms=1,
+                        top_k=8, warmup=False, one_shot=True) as srv:
+        dets = asyncio.run(run(srv))
+    assert dets and all(d["class_name"] == "query-object" for d in dets)
