@@ -146,6 +146,14 @@ def image_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int), ctypes.c_int,
     ]
+    L.owlvit_decode_bytes.restype = ctypes.c_int
+    L.owlvit_decode_bytes.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    L.owlvit_free_buffer.restype = None
+    L.owlvit_free_buffer.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
     _img_lib = L
     return _img_lib
 
@@ -172,6 +180,32 @@ def decode_resize_batch(
         _ptr(ok, ctypes.c_int), n_threads,
     )
     return out, wh, ok.astype(bool)
+
+
+def decode_bytes(data: bytes) -> "np.ndarray | None":
+    """Decode ONE in-memory JPEG/PNG -> [h, w, 3] uint8 (serving uploads).
+
+    Releases the GIL inside libjpeg/libpng. Returns None when the native
+    library is unavailable OR the payload needs the PIL fallback (16-bit
+    PNGs, other formats) — callers keep a PIL path.
+    """
+    L = image_lib()
+    if L is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if not L.owlvit_decode_bytes(
+        _ptr(buf, ctypes.c_uint8), buf.size, ctypes.byref(out),
+        ctypes.byref(w), ctypes.byref(h),
+    ):
+        return None
+    try:
+        arr = np.ctypeslib.as_array(out, shape=(h.value, w.value, 3)).copy()
+    finally:
+        L.owlvit_free_buffer(out)
+    return arr
 
 
 def coco_match(iou: np.ndarray, gt_ignore: np.ndarray,

@@ -288,6 +288,18 @@ bool decode_file(const char* path, std::vector<unsigned char>& rgb,
     return false;
 }
 
+bool decode_buffer(const unsigned char* buf, size_t len,
+                   std::vector<unsigned char>& rgb, int* w, int* h) {
+    if (len <= 8) return false;
+    if (buf[0] == 0xFF && buf[1] == 0xD8) {
+        return decode_jpeg(buf, len, rgb, w, h);
+    }
+    if (buf[0] == 0x89 && buf[1] == 'P' && buf[2] == 'N' && buf[3] == 'G') {
+        return decode_png(buf, len, rgb, w, h);
+    }
+    return false;
+}
+
 }  // namespace
 
 // ------------------------------------------------------------------ C API
@@ -339,5 +351,21 @@ int owlvit_decode_resize_batch(const char* const* paths, int n, int out_size,
     }
     return good.load();
 }
+
+// Decode ONE in-memory JPEG/PNG (serving uploads — no file round trip).
+//   out: malloc'd [h, w, 3] uint8 on success; caller frees with
+//        owlvit_free_buffer. Returns 1 on success, 0 on failure (caller
+//        falls back to PIL — e.g. 16-bit PNGs, other formats).
+int owlvit_decode_bytes(const unsigned char* buf, size_t len,
+                        unsigned char** out, int* w, int* h) {
+    std::vector<unsigned char> rgb;
+    if (!decode_buffer(buf, len, rgb, w, h)) return 0;
+    *out = (unsigned char*)malloc(rgb.size());
+    if (!*out) return 0;
+    memcpy(*out, rgb.data(), rgb.size());
+    return 1;
+}
+
+void owlvit_free_buffer(unsigned char* p) { free(p); }
 
 }  // extern "C"

@@ -408,7 +408,13 @@ class DetectorServer:
                     or d[0].t_enqueue + self.max_delay_s <= now
                 ):
                     batch = [d.popleft() for _ in range(min(len(d), max_b))]
-                    self._dispatch(batch, is_zs)
+                    try:
+                        self._dispatch(batch, is_zs)
+                    except Exception as e:  # noqa: BLE001 — device/compile
+                        # failure must reach the waiting clients, not hang
+                        # their futures forever
+                        for req in batch:
+                            req.future.set_exception(e)
         self._done_q.put(None)
 
     def _embed_queries(self, queries: tuple) -> np.ndarray:
@@ -488,7 +494,13 @@ class DetectorServer:
                 return
             out, batch = item
             tf0 = time.perf_counter()
-            packed = np.asarray(out)  # ONE fetch; blocks until device done
+            try:
+                packed = np.asarray(out)  # ONE fetch; blocks on device done
+            except Exception as e:  # noqa: BLE001 — async-dispatched device
+                # failure surfaces at fetch; fail the batch's futures
+                for req in batch:
+                    req.future.set_exception(e)
+                continue
             now = time.perf_counter()
             if self._debug_phases:
                 with self._lock:
@@ -529,20 +541,31 @@ def make_app(server: DetectorServer, labelmap: dict | None = None):
     from aiohttp import web
     from PIL import Image
 
-    def _decode(data):
+    def _decode_sync(data):
+        # native decoder when built (releases the GIL, PIL-exact resize is
+        # done later in submit()); PIL fallback otherwise
+        from owlvit_tpu import native
+
+        arr = native.decode_bytes(data)
+        if arr is not None:
+            return arr
         return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
 
     async def detect(request: "web.Request"):
+        # decode OFF the event loop — a blocking PIL/libjpeg call in the
+        # handler would stall every concurrent request
+        loop = asyncio.get_running_loop()
+        _decode = lambda d: loop.run_in_executor(None, _decode_sync, d)  # noqa: E731
         qimg = None
         try:
             if request.content_type == "multipart/form-data":
                 # one-shot: fields `image` + `query_image` (both PNG/JPEG)
                 form = await request.post()
-                img = _decode(form["image"].file.read())
+                img = await _decode(form["image"].file.read())
                 if "query_image" in form:
-                    qimg = _decode(form["query_image"].file.read())
+                    qimg = await _decode(form["query_image"].file.read())
             else:
-                img = _decode(await request.read())
+                img = await _decode(await request.read())
         except Exception:  # noqa: BLE001 — malformed upload is a client error
             return web.json_response({"error": "undecodable image"}, status=400)
         # ?queries=cat,dog -> zero-shot serving conditioned on these strings

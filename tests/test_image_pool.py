@@ -143,3 +143,37 @@ def test_16bit_png_falls_back_to_pil(tmp_path):
     d = _D()
     imgs, whs = _D._decode_resize_many(d, ["deep.png"])
     np.testing.assert_array_equal(imgs[0], ref)
+
+
+def test_decode_bytes_matches_pil(tmp_path):
+    """Single-buffer decode (serving uploads) is pixel-identical to PIL for
+    PNG and JPEG; 16-bit PNG refuses (None) so the PIL fallback keeps
+    pixel parity."""
+    if native.image_lib() is None:
+        pytest.skip("native image library unavailable")
+    import io
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 255, (37, 53, 3), dtype=np.uint8)
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    png = buf.getvalue()
+    out = native.decode_bytes(png)
+    assert out is not None and out.shape == (37, 53, 3)
+    np.testing.assert_array_equal(out, arr)
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+    jpg = buf.getvalue()
+    out = native.decode_bytes(jpg)
+    ref = np.asarray(Image.open(io.BytesIO(jpg)).convert("RGB"))
+    assert out is not None
+    np.testing.assert_array_equal(out, ref)  # same libjpeg as PIL
+
+    arr16 = (rng.integers(0, 65535, (8, 8), dtype=np.uint16))
+    buf = io.BytesIO()
+    Image.fromarray(arr16.astype(np.int32), mode="I").save(buf, format="PNG")
+    assert native.decode_bytes(buf.getvalue()) is None  # caller falls to PIL
+
+    assert native.decode_bytes(b"definitely not an image") is None

@@ -384,3 +384,20 @@ def test_http_one_shot_multipart(detector):
                         top_k=8, warmup=False, one_shot=True) as srv:
         dets = asyncio.run(run(srv))
     assert dets and all(d["class_name"] == "query-object" for d in dets)
+
+
+def test_dispatch_failure_fails_futures(detector):
+    """A device/compile failure inside dispatch must reach the waiting
+    clients as an exception — never a hung future."""
+    params, cfg = detector
+    S = cfg.vision.image_size
+    img = _rand_images(1, S)[0]
+    with DetectorServer(params, cfg, buckets=(1,), max_delay_ms=1,
+                        top_k=8, warmup=True) as srv:
+        def boom(p, x):
+            raise RuntimeError("injected device fault")
+
+        srv._serve = boom
+        fut = srv.submit(img)
+        with pytest.raises(RuntimeError, match="injected device fault"):
+            fut.result(timeout=30)
