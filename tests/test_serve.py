@@ -401,3 +401,42 @@ def test_dispatch_failure_fails_futures(detector):
         fut = srv.submit(img)
         with pytest.raises(RuntimeError, match="injected device fault"):
             fut.result(timeout=30)
+
+
+def test_text_and_image_queries_share_a_batch(detector):
+    """A zero-shot request and a one-shot request ride the SAME
+    query-conditioned batch (per-request qemb rows), each resolving to its
+    own reference output."""
+    params, cfg = detector
+    S = cfg.vision.image_size
+    images = _rand_images(2, S, seed=31)
+    qimg = _rand_images(1, S, seed=32)[0]
+    tok = _hash_tok(cfg)
+
+    ref_zs = _zs_direct(params, cfg, images[:1], tok, ("a widget",))
+    boxes, logits = owlvit.forward_one_shot(
+        params, cfg.replace(trainable_last_k=None),
+        normalize_image(jnp.asarray(images[1:])),
+        normalize_image(jnp.asarray(qimg[None])),
+    )
+    ref_os = jax.tree.map(np.asarray, nms_ops.postprocess(
+        boxes, jax.nn.sigmoid(logits), confidence_threshold=0.01,
+        iou_threshold=0.6, top_k=16))
+
+    with DetectorServer(params, cfg, buckets=(2,), max_delay_ms=200,
+                        top_k=16, warmup=False, tokenizer=tok,
+                        one_shot=True, max_queries=2) as srv:
+        f0 = srv.submit(images[0], queries=["a widget"])
+        f1 = srv.submit(images[1], query_image=qimg)
+        r0, r1 = f0.result(timeout=120), f1.result(timeout=120)
+        st = srv.stats()
+
+    assert st["batches"] == 1 and st["zs_batches"] == 1  # ONE shared batch
+    keep = ref_zs["valid"][0]
+    np.testing.assert_allclose(r0["scores"], ref_zs["scores"][0][keep],
+                               rtol=1e-4, atol=1e-5)
+    assert r0["labels"] == ["a widget"] * len(r0["classes"])
+    keep = ref_os["valid"][0]
+    np.testing.assert_allclose(r1["scores"], ref_os["scores"][0][keep],
+                               rtol=1e-4, atol=1e-5)
+    assert r1["labels"] == ["query-object"] * len(r1["classes"])
