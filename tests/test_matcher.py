@@ -257,3 +257,15 @@ def test_match_zero_valid_gt(rng):
         n_classes=C,
     )
     assert (np.asarray(target_classes) == C).all()
+
+
+def test_hungarian_pruned_recipe_shape(rng):
+    """Exactness at the real detection shape (G=16 rows, P=2304 patch
+    columns — the shape OWLVIT_MATCH_PRUNE targets on chip)."""
+    cost = rng.normal(size=(16, 2304)).astype(np.float32)
+    ours = np.asarray(matcher.hungarian_pruned(jnp.asarray(cost)))
+    ri, ci = linear_sum_assignment(cost)
+    assert len(set(ours.tolist())) == 16
+    np.testing.assert_allclose(
+        total_cost(cost, ours), cost[ri, ci].sum(), rtol=1e-5, atol=1e-5
+    )
