@@ -100,6 +100,9 @@ class DetectorServer:
     one_shot : enable `submit(image, query_image=...)` image-guided
         detection (exemplar embeddings cached by image digest; rides the
         query-conditioned lane with one query slot).
+    mesh : optional `jax.sharding.Mesh` with a "data" axis — SPMD serving:
+        batches shard over the axis, params replicate, GSPMD runs each
+        bucket across all devices (buckets must divide the axis size).
     """
 
     def __init__(
@@ -118,6 +121,7 @@ class DetectorServer:
         tokenizer=None,
         max_queries: int = 8,
         one_shot: bool = False,
+        mesh=None,
     ):
         if list(buckets) != sorted(set(buckets)) or buckets[0] < 1:
             raise ValueError(f"buckets must be ascending unique >=1: {buckets}")
@@ -125,7 +129,32 @@ class DetectorServer:
         self.buckets = tuple(int(b) for b in buckets)
         self.max_delay_s = max_delay_ms / 1e3
         self.image_size = cfg.vision.image_size
-        self._params = jax.device_put(params)
+        # SPMD serving: on a jax.sharding.Mesh (axis "data"), every batch is
+        # sharded over the data axis and params are replicated — GSPMD runs
+        # each bucket executable across all devices (per-image independence
+        # means zero cross-device collectives in the forward). Buckets must
+        # divide the data-axis size so pad rows shard evenly.
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            nd = mesh.shape["data"]
+            bad = [b for b in self.buckets if b % nd]
+            if bad:
+                raise ValueError(
+                    f"buckets {bad} do not divide the mesh data axis ({nd})"
+                )
+            self._shard_batch = lambda nd_: NamedSharding(  # noqa: E731
+                mesh, PartitionSpec("data", *([None] * (nd_ - 1)))
+            )
+            repl = NamedSharding(mesh, PartitionSpec())
+            self._params = jax.device_put(params, repl)
+            self._put = lambda a: jax.device_put(  # noqa: E731
+                a, self._shard_batch(a.ndim)
+            )
+        else:
+            self._params = jax.device_put(params)
+            self._put = jnp.asarray
 
         def _serve(p, images_flat_u8):
             # Wire format: images arrive FLAT [B, S*S*3] and detections leave
@@ -243,11 +272,12 @@ class DetectorServer:
     def _warmup(self):
         S = self.image_size
         for b in self.buckets:
-            z = jnp.zeros((b, S * S * 3), jnp.uint8)
+            z = self._put(np.zeros((b, S * S * 3), np.uint8))
             jax.block_until_ready(self._serve(self._params, z))
             if self._serve_zs is not None:
-                qe = jnp.zeros((b, self._max_queries, self._proj), jnp.float32)
-                qm = jnp.zeros((b, self._max_queries), jnp.int32)
+                qe = self._put(
+                    np.zeros((b, self._max_queries, self._proj), np.float32))
+                qm = self._put(np.zeros((b, self._max_queries), np.int32))
                 jax.block_until_ready(self._serve_zs(self._params, z, qe, qm))
         if self._one_shot:
             zq = jnp.zeros((1, S * S * 3), jnp.uint8)
@@ -463,13 +493,13 @@ class DetectorServer:
                 qemb[i, : len(e)] = e
                 qmask[i, : len(e)] = 1
             call = lambda dev: self._serve_zs(  # noqa: E731
-                self._params, dev, jnp.asarray(qemb), jnp.asarray(qmask)
+                self._params, dev, self._put(qemb), self._put(qmask)
             )
         else:
             call = lambda dev: self._serve(self._params, dev)  # noqa: E731
         if self._debug_phases:
             t1 = time.perf_counter()
-            dev = jax.block_until_ready(jnp.asarray(images))
+            dev = jax.block_until_ready(self._put(images))
             t2 = time.perf_counter()
             out = jax.block_until_ready(call(dev))
             t3 = time.perf_counter()
@@ -479,7 +509,7 @@ class DetectorServer:
                 ph["h2d"] += t2 - t1
                 ph["exec"] += t3 - t2
         else:
-            out = call(jnp.asarray(images))  # async
+            out = call(self._put(images))  # async
         with self._lock:
             self._stats["batches"] += 1
             self._stats["zs_batches"] += int(is_zs)

@@ -440,3 +440,34 @@ def test_text_and_image_queries_share_a_batch(detector):
     np.testing.assert_allclose(r1["scores"], ref_os["scores"][0][keep],
                                rtol=1e-4, atol=1e-5)
     assert r1["labels"] == ["query-object"] * len(r1["classes"])
+
+
+def test_mesh_sharded_serving(detector):
+    """SPMD serving on a data mesh returns the same detections as the
+    single-device server (params replicated, batches sharded)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices (virtual CPU mesh)")
+    from jax.sharding import Mesh
+
+    params, cfg = detector
+    S = cfg.vision.image_size
+    images = _rand_images(3, S, seed=41)  # 3 real rows + 1 pad row
+    ref = _direct(params, cfg, images)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    with DetectorServer(params, cfg, buckets=(4,), max_delay_ms=50,
+                        top_k=16, warmup=False, mesh=mesh) as srv:
+        futs = [srv.submit(img) for img in images]
+        results = [f.result(timeout=120) for f in futs]
+
+    for i, res in enumerate(results):
+        keep = ref["valid"][i]
+        np.testing.assert_allclose(
+            res["boxes"] / S, ref["boxes"][i][keep], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            res["scores"], ref["scores"][i][keep], rtol=1e-4, atol=1e-5)
+        assert (res["classes"] == ref["classes"][i][keep]).all()
+
+    with pytest.raises(ValueError, match="divide"):
+        DetectorServer(params, cfg, buckets=(3,), warmup=False,
+                       autostart=False, mesh=mesh)
