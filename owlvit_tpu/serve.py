@@ -57,6 +57,10 @@ from owlvit_tpu.ops import nms as nms_ops
 from owlvit_tpu.ops.preprocess import normalize_image
 
 
+class ServerOverloaded(RuntimeError):
+    """Raised by submit() when the request queue is at max_queue."""
+
+
 @dataclass
 class _Request:
     image: np.ndarray  # [S, S, 3] uint8, already model-sized
@@ -103,6 +107,10 @@ class DetectorServer:
     mesh : optional `jax.sharding.Mesh` with a "data" axis — SPMD serving:
         batches shard over the axis, params replicate, GSPMD runs each
         bucket across all devices (buckets must divide the axis size).
+    max_queue : admission bound — `submit` raises `ServerOverloaded` once
+        this many requests are already waiting (the HTTP frontend maps it
+        to 503), so a flood degrades by shedding instead of by unbounded
+        queue growth and latency collapse.
     """
 
     def __init__(
@@ -122,6 +130,7 @@ class DetectorServer:
         max_queries: int = 8,
         one_shot: bool = False,
         mesh=None,
+        max_queue: int = 1024,
     ):
         if list(buckets) != sorted(set(buckets)) or buckets[0] < 1:
             raise ValueError(f"buckets must be ascending unique >=1: {buckets}")
@@ -248,6 +257,7 @@ class DetectorServer:
         # (synchronizes between phases — diagnosis only, disables pipelining).
         self._debug_phases = os.environ.get("OWLVIT_SERVE_PHASES") == "1"
         self._q: queue.Queue = queue.Queue()
+        self._max_queue = int(max_queue)
         # Bounded: caps device work in flight (pipelining without pile-up).
         self._done_q: queue.Queue = queue.Queue(maxsize=max_inflight)
         self._lock = threading.Lock()
@@ -369,6 +379,10 @@ class DetectorServer:
             qdigest = hashlib.sha1(query_image.tobytes()).hexdigest()
         h, w = image.shape[:2] if image.ndim == 3 else (0, 0)
         image = self._model_sized(image, "image")
+        if self._q.qsize() >= self._max_queue:
+            raise ServerOverloaded(
+                f"request queue at max_queue={self._max_queue}; retry later"
+            )
         req = _Request(image, (w, h), queries, query_image, qdigest)
         self._q.put(req)
         return req.future
@@ -606,6 +620,8 @@ def make_app(server: DetectorServer, labelmap: dict | None = None):
         )
         try:
             fut = server.submit(img, queries=queries, query_image=qimg)
+        except ServerOverloaded as e:
+            return web.json_response({"error": str(e)}, status=503)
         except ValueError as e:  # no tokenizer / too many queries / both
             return web.json_response({"error": str(e)}, status=400)
         res = await asyncio.wrap_future(fut)

@@ -471,3 +471,19 @@ def test_mesh_sharded_serving(detector):
     with pytest.raises(ValueError, match="divide"):
         DetectorServer(params, cfg, buckets=(3,), warmup=False,
                        autostart=False, mesh=mesh)
+
+
+def test_overload_shedding(detector):
+    """submit() sheds with ServerOverloaded at max_queue instead of growing
+    the queue without bound."""
+    from owlvit_tpu.serve import ServerOverloaded
+
+    params, cfg = detector
+    S = cfg.vision.image_size
+    img = _rand_images(1, S)[0]
+    srv = DetectorServer(params, cfg, buckets=(1,), warmup=False,
+                         autostart=False, max_queue=2)
+    srv.submit(img)
+    srv.submit(img)
+    with pytest.raises(ServerOverloaded, match="max_queue"):
+        srv.submit(img)
