@@ -31,9 +31,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # ITU-R BT.601 luma weights (torchvision's rgb_to_grayscale convention).
-_LUMA = jnp.array([0.299, 0.587, 0.114], jnp.float32)
+# Plain numpy, NOT jnp: if this module is first imported inside a jit trace,
+# a jnp constant would be created as a tracer and leak into module state
+# (stale-tracer error on the next retrace).
+_LUMA = np.asarray([0.299, 0.587, 0.114], np.float32)
 
 
 def hflip(key, images, boxes, prob: float = 0.5):

@@ -226,11 +226,15 @@ class Trainer:
 
         self._unflatten_images = unflatten_images
 
+        if aug.augment:
+            # import EAGERLY, not inside the traced step: module-level
+            # constants created during a trace leak as stale tracers into
+            # the next retrace (second Trainer in one process)
+            from owlvit_tpu.ops.augment import augment_batch
+
         def train_step(state: TrainState, batch):
             batch = {**batch, "image": unflatten_images(batch["image"])}
             if aug.augment:
-                from owlvit_tpu.ops.augment import augment_batch
-
                 k = jax.random.fold_in(aug_key, state.step)
                 img, bxs, msk = augment_batch(
                     k, batch["image"], batch["boxes"], batch["gt_mask"],
@@ -342,6 +346,10 @@ class Trainer:
 
             return grad_update(state, loss_fn)
 
+        if qdt:
+            # import OUTSIDE the traced fns (in-trace module imports can
+            # leak module-level constants as stale tracers; see augment)
+            from owlvit_tpu.ops.quant import dequantize_rows, quantize_rows
         if self.mesh is not None:
             # Sharded pool: rows live on their data-parallel rank; the
             # shard-aligned sampler (run()) keeps every gather/scatter
@@ -352,8 +360,6 @@ class Trainer:
 
             def pool_gather(pool, idxs):
                 if qdt:
-                    from owlvit_tpu.ops.quant import dequantize_rows
-
                     return dequantize_rows(
                         local_gather(pool["q"], idxs, mesh),
                         local_gather(pool["s"], idxs, mesh),
@@ -363,8 +369,6 @@ class Trainer:
 
             def scatter_acts(pool, idxs, acts):
                 if qdt:
-                    from owlvit_tpu.ops.quant import quantize_rows
-
                     q, s = quantize_rows(acts)
                     return {
                         "q": local_scatter(pool["q"], idxs, q, mesh),
@@ -376,8 +380,6 @@ class Trainer:
             def pool_gather(pool, idxs):
                 # one HBM-local gather replaces any host transfer
                 if qdt:
-                    from owlvit_tpu.ops.quant import dequantize_rows
-
                     return dequantize_rows(
                         pool["q"][idxs], pool["s"][idxs], compute_dtype
                     )
@@ -385,8 +387,6 @@ class Trainer:
 
             def scatter_acts(pool, idxs, acts):
                 if qdt:
-                    from owlvit_tpu.ops.quant import quantize_rows
-
                     q, s = quantize_rows(acts)
                     return {
                         "q": pool["q"].at[idxs].set(q),

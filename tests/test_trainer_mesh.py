@@ -135,3 +135,23 @@ def test_batch_not_divisible_rejected(tmp_path):
 def test_too_many_devices_rejected(tmp_path):
     with pytest.raises(ValueError, match="devices"):
         Trainer(_cfg(str(tmp_path), mesh_data=64), workdir=str(tmp_path))
+
+
+def test_dp_x_augment_matches_single_device(tmp_path):
+    """On-device augmentation composes with GSPMD dp: the augmented dp4 run
+    reproduces the augmented single-device run exactly (fold_in(step) keys
+    are data-position-independent, so sharding cannot change the pixels)."""
+    kw = dict(augment=True, aug_hflip=0.5, aug_color=0.3,
+              aug_scale_min=0.9, aug_scale_max=1.1)
+    t1 = Trainer(
+        _cfg(str(tmp_path / "aug1"), **kw), workdir=str(tmp_path / "aug1")
+    )
+    m1 = t1.run()
+    t4 = Trainer(
+        _cfg(str(tmp_path / "aug4"), mesh_data=4, **kw),
+        workdir=str(tmp_path / "aug4"),
+    )
+    m4 = t4.run()
+    assert int(t1.state.step) == int(t4.state.step) == 4
+    np.testing.assert_allclose(_queries(t1), _queries(t4), rtol=1e-4, atol=1e-6)
+    assert np.isclose(m1["map"], m4["map"], atol=1e-6)
