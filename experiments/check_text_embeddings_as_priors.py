@@ -3,7 +3,7 @@
 
 Encodes many class-name prompts with the CLIP text tower and checks that the
 embedding space is semantically organized (the justification for initializing
-the trainable query bank from text embeddings): reduce to 2-3D with PCA and
+the trainable query bank from text embeddings): reduce to 2-3D (t-SNE) and
 report nearest-neighbor structure. Writes JSON (+ PNG with matplotlib).
 
 Usage:
@@ -21,7 +21,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from check_zero_shot import pca  # noqa: E402
+from check_zero_shot import reduce_embed  # noqa: E402
 
 
 def main():
@@ -93,13 +93,14 @@ def main():
         import matplotlib.pyplot as plt
 
         # Two panels mirroring the reference notebook's visual story (a
-        # labeled 3-D UMAP/plotly scatter): PCA-2 with class-name labels
-        # at each class centroid, and a PCA-3 3-D scatter (PCA stands in
-        # for UMAP offline; hover labels become static centroid text).
+        # labeled 3-D UMAP/plotly scatter): 2-D manifold embedding with
+        # class-name labels at each class centroid, and a 3-D scatter
+        # (t-SNE stands in for UMAP offline, PCA if sklearn is absent;
+        # hover labels become static centroid text).
         classes = np.arange(len(bank)) // 3
         names = list(labelmap.values())
-        proj = pca(bank, 2)
-        proj3 = pca(bank, 3)
+        proj, method2 = reduce_embed(bank, 2)
+        proj3, method3 = reduce_embed(bank, 3)
         fig = plt.figure(figsize=(14, 6))
         ax = fig.add_subplot(1, 2, 1)
         ax.scatter(proj[:, 0], proj[:, 1], c=classes, s=10, cmap="hsv")
@@ -107,11 +108,12 @@ def main():
         for ci in range(0, len(names), label_every):
             cx, cy = proj[classes == ci].mean(0)
             ax.annotate(names[ci], (cx, cy), fontsize=6, alpha=0.8)
-        ax.set_title("class-prompt text embeddings (PCA-2), class labels")
+        ax.set_title(
+            f"class-prompt text embeddings ({method2}), class labels")
         ax3 = fig.add_subplot(1, 2, 2, projection="3d")
         ax3.scatter(proj3[:, 0], proj3[:, 1], proj3[:, 2],
                     c=classes, s=8, cmap="hsv")
-        ax3.set_title("PCA-3 (reference used UMAP-3 + plotly hover)")
+        ax3.set_title(f"{method3} (reference used UMAP-3 + plotly hover)")
         fig.tight_layout()
         fig.savefig(args.out.replace(".json", ".png"), dpi=120)
         print(f"figure: {args.out.replace('.json', '.png')}")

@@ -29,6 +29,23 @@ def pca(x: np.ndarray, dims: int = 2) -> np.ndarray:
     return x @ vt[:dims].T
 
 
+def reduce_embed(x: np.ndarray, dims: int = 2, seed: int = 0) -> tuple:
+    """Nonlinear manifold embedding like the reference's UMAP: sklearn
+    t-SNE when available (init='pca' for determinism up to solver), PCA
+    otherwise. Returns (embedding [N, dims], method_name)."""
+    try:
+        from sklearn.manifold import TSNE
+
+        perp = min(30.0, max(2.0, (len(x) - 1) / 4))
+        emb = TSNE(
+            n_components=dims, init="pca", perplexity=perp,
+            random_state=seed,
+        ).fit_transform(x)
+        return emb, f"t-SNE-{dims}"
+    except Exception:  # noqa: BLE001 — no sklearn, or too few samples
+        return pca(x, dims), f"PCA-{dims}"
+
+
 def kmeans(x: np.ndarray, k: int, iters: int = 50, seed: int = 0) -> np.ndarray:
     rng = np.random.default_rng(seed)
     centers = x[rng.choice(len(x), k, replace=False)]
@@ -97,7 +114,7 @@ def main():
         confidence_threshold=0.1, iou_threshold=0.5, top_k=32,
     )
 
-    proj = pca(embeds, 2)
+    proj, method2 = reduce_embed(embeds, 2)
     assign = kmeans(proj, args.clusters)
     det_patches = np.asarray(out["classes"][0]) >= 0
 
@@ -121,17 +138,18 @@ def main():
 
         # Three panels, mirroring the reference notebook's visual story
         # (UMAP 3-D scatter + detections): 2-D embedding scatter, 3-D
-        # embedding scatter (PCA stands in for UMAP offline), and the
-        # input image with detected boxes overlaid.
-        proj3 = pca(embeds, 3)
+        # embedding scatter (t-SNE stands in for UMAP offline; PCA if
+        # sklearn is absent), and the input image with detected boxes.
+        proj3, method3 = reduce_embed(embeds, 3)
         fig = plt.figure(figsize=(16, 5))
         ax = fig.add_subplot(1, 3, 1)
         ax.scatter(proj[:, 0], proj[:, 1], c=assign, s=8, cmap="tab10")
-        ax.set_title("per-patch class embeddings (PCA-2), k-means colored")
+        ax.set_title(
+            f"per-patch class embeddings ({method2}), k-means colored")
         ax3 = fig.add_subplot(1, 3, 2, projection="3d")
         ax3.scatter(proj3[:, 0], proj3[:, 1], proj3[:, 2],
                     c=assign, s=6, cmap="tab10")
-        ax3.set_title("PCA-3 (reference used UMAP-3)")
+        ax3.set_title(f"{method3} (reference used UMAP-3)")
         axi = fig.add_subplot(1, 3, 3)
         axi.imshow(arr)
         keep = np.asarray(out["valid"][0])
