@@ -34,7 +34,24 @@ def _cmd_eval(args):
     from owlvit_tpu.utils.config import load_config
 
     trainer = Trainer(load_config(args.config), workdir=args.workdir)
-    metrics = trainer.evaluate()
+    infer_fn = None
+    if getattr(args, "from_export", None):
+        # deployment-parity eval: run the SAME protocol through the loaded
+        # serving artifact — its mAP must reproduce the in-package eval
+        from owlvit_tpu.train.export import (
+            load_exported, load_exported_weightless,
+        )
+
+        if getattr(args, "export_params", None):
+            from owlvit_tpu.models.convert import load_params
+
+            infer_fn = load_exported_weightless(
+                args.from_export, load_params(args.export_params)
+            )
+        else:
+            infer_fn = load_exported(args.from_export)
+        print(f"eval through exported artifact: {args.from_export}")
+    metrics = trainer.evaluate(infer_fn=infer_fn)
     print(json.dumps({k: (v.tolist() if hasattr(v, "tolist") else v)
                       for k, v in metrics.items()}, indent=2))
 
@@ -226,6 +243,13 @@ def main(argv=None):
         sp = sub.add_parser(name)
         sp.add_argument("--config", required=True)
         sp.add_argument("--workdir", default=".")
+        if name == "eval":
+            sp.add_argument("--from-export", default=None,
+                            help="serving artifact: eval THROUGH it "
+                                 "(deployment parity; batch must match "
+                                 "the export batch_size)")
+            sp.add_argument("--export-params", default=None,
+                            help="npz for a --weightless artifact")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("infer")

@@ -775,13 +775,45 @@ class Trainer:
 
     # -------------------------------------------------------------------- eval
 
-    def evaluate(self, epoch: Optional[int] = None) -> dict:
+    def evaluate(self, epoch: Optional[int] = None, infer_fn=None) -> dict:
+        """Eval epoch -> COCO mAP dict.
+
+        infer_fn: optional deployment-parity hook — a callable
+        `images_u8 [B, S, S, 3] -> (boxes, sims)` (e.g. a loaded export
+        artifact, train/export.py). The SAME postprocess/metric protocol
+        runs on its outputs, so `cli eval --from-export` proves the served
+        artifact reproduces the in-package eval."""
         t = self.cfg.training
         metric = MeanAveragePrecision(self.n_classes)
         debug_dir = None
         if t.save_eval_images and epoch is not None:
             debug_dir = os.path.join(self.workdir, "debug", str(epoch))
             os.makedirs(debug_dir, exist_ok=True)
+
+        if infer_fn is None:
+            packed_fn = lambda images: self.eval_step(  # noqa: E731
+                self.state.trainable, self.state.frozen, images
+            )
+        else:
+            S_img = self.model_cfg.vision.image_size
+
+            @jax.jit
+            def _pack(boxes, sims):
+                out = nms_ops.postprocess(
+                    boxes, sims,
+                    confidence_threshold=t.confidence_threshold,
+                    iou_threshold=t.iou_threshold, top_k=t.top_k,
+                )
+                return jnp.concatenate([
+                    out["boxes"], out["scores"][..., None],
+                    out["classes"].astype(jnp.float32)[..., None],
+                    out["valid"].astype(jnp.float32)[..., None],
+                ], axis=-1)
+
+            def packed_fn(images):
+                if images.ndim == 2:  # loader's flat wire -> artifact's 4-D
+                    images = images.reshape(-1, S_img, S_img, 3)
+                return _pack(*infer_fn(images))
 
         it = batch_iterator(self.test_ds, t.batch_size, shuffle=False)
         # Ground truth and image metadata are consumed on the host only —
@@ -793,9 +825,8 @@ class Trainer:
                        "boxes", "labels", "gt_mask"),
         )):
             paths = batch.pop("paths", None)
-            packed = np.asarray(self.eval_step(
-                self.state.trainable, self.state.frozen, batch["image"]
-            ))  # [B, K, 7] — one fetch; see eval_step's wire comment
+            # [B, K, 7] — one fetch; see eval_step's wire comment
+            packed = np.asarray(packed_fn(batch["image"]))
             valid_imgs = batch["image_valid"]
             widths = batch["width"]
             heights = batch["height"]

@@ -394,3 +394,29 @@ def test_eval_every_epochs(tmp_path, monkeypatch):
     with open(os.path.join(root, "class_maps.json")) as f:
         per_class = json.load(f)
     assert all(len(v) == 2 for v in per_class.values())
+
+
+def test_eval_through_exported_artifact(trained):
+    """Deployment parity: evaluate() through a loaded weightless export
+    artifact reproduces the in-package eval's mAP exactly."""
+    from owlvit_tpu.train.export import (
+        export_detector_weightless,
+        load_exported_weightless,
+    )
+
+    root, cfg, trainer, _ = trained
+    direct = trainer.evaluate()
+
+    params = combine_params(trainer.state.trainable, trainer.state.frozen)
+    params = jax.tree.map(np.asarray, params)
+    blob = export_detector_weightless(
+        params, trainer.model_cfg, batch_size=cfg.training.batch_size
+    )
+    fn = load_exported_weightless(blob, params)
+    via_export = trainer.evaluate(infer_fn=fn)
+
+    for k in direct:
+        np.testing.assert_allclose(
+            np.asarray(direct[k]), np.asarray(via_export[k]),
+            atol=1e-8, err_msg=k,
+        )
