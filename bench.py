@@ -144,9 +144,35 @@ def main():
     # process's first device interaction can hit a still-wedged claim; a
     # tiny matmul settles it (tools/tpu_one_run.py does the same — the
     # probe-less bench variants faulted at their first big execution).
+    # Watchdog: a wedged claim spins the probe forever (r3: an outage held
+    # the chip for hours — nanosleep loop, ~0 CPU). Rather than hang the
+    # driver, print an explicit outage record and exit nonzero. Disable or
+    # retune via BENCH_CLAIM_TIMEOUT (seconds; 0 disables).
+    import threading
+
     import jax.numpy as jnp
 
+    claim_timeout = float(os.environ.get("BENCH_CLAIM_TIMEOUT", "1200"))
+    if claim_timeout > 0:
+
+        def _outage():
+            print(json.dumps({
+                "metric": "owlvit-b16 bf16 train images/sec/chip "
+                          "(batch 32, cached steady state)",
+                "value": None, "unit": "images/sec/chip",
+                "vs_baseline": None,
+                "error": f"TPU claim not granted within {claim_timeout:.0f}s "
+                         "— relay/claim outage (see BENCH.md r3 outage log); "
+                         "rerun when the chip is reachable",
+            }), flush=True)
+            os._exit(3)
+
+        wd = threading.Timer(claim_timeout, _outage)
+        wd.daemon = True
+        wd.start()
     jnp.ones((256, 256)).dot(jnp.ones((256, 256))).block_until_ready()
+    if claim_timeout > 0:
+        wd.cancel()
 
     # --- cached steady-state step (the config.yaml default, epochs >= 2) ---
     # Measured FIRST: it is the headline, and relay faults cascade forward
