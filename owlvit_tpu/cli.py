@@ -163,7 +163,15 @@ def _cmd_export(args):
     from owlvit_tpu.utils.config import load_config
 
     trainer = Trainer(load_config(args.config), workdir=args.workdir)
-    params = combine_params(trainer.state.trainable, trainer.state.frozen)
+    trainable = trainer.state.trainable
+    if getattr(args, "ema", False):
+        if trainer.ema is None:
+            raise SystemExit(
+                "--ema needs training.ema_decay set in the config (the EMA "
+                "tree is restored from the checkpoint next to the TrainState)"
+            )
+        trainable = trainer.ema
+    params = combine_params(trainable, trainer.state.frozen)
     if args.weightless:
         from owlvit_tpu.models.convert import save_params
         from owlvit_tpu.train.export import export_detector_weightless
@@ -284,6 +292,8 @@ def main(argv=None):
     sp.add_argument("--batch-size", type=int, default=1)
     sp.add_argument("--weightless", action="store_true",
                     help="export the graph only; bind weights at load time")
+    sp.add_argument("--ema", action="store_true",
+                    help="export the EMA weights (training.ema_decay)")
     sp.set_defaults(fn=_cmd_export)
 
     sp = sub.add_parser("serve")

@@ -49,6 +49,52 @@ def latest_step(directory: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
+def save_tree(directory: str, step: int, tree) -> str:
+    """Save a bare pytree (e.g. the EMA of the trainable params) next to the
+    TrainState checkpoints, keyed by the same step."""
+    path = os.path.join(os.path.abspath(directory), f"tree_{step:08d}")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, _prune_empty(tree), force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_tree(directory: str, step: int, template) -> Optional[object]:
+    """Restore a pytree saved by save_tree at `step` (None if absent)."""
+    path = os.path.join(os.path.abspath(directory), f"tree_{step:08d}")
+    if not os.path.isdir(path):
+        return None
+    ckptr = ocp.StandardCheckpointer()
+    abstract = _prune_empty(
+        jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(getattr(x, "shape", ()), x.dtype)
+            if hasattr(x, "dtype")
+            else x,
+            template,
+        )
+    )
+    restored = ckptr.restore(path, abstract)
+    return jax.tree.map(
+        lambda t, r: t if r is None else r, template, restored,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def prune_steps(directory: str, keep_step: int) -> None:
+    """Delete step_*/tree_* checkpoints other than keep_step (used by the
+    best-checkpoint dir, which should hold exactly one step)."""
+    import shutil
+
+    if not os.path.isdir(directory):
+        return
+    for d in os.listdir(directory):
+        for prefix in ("step_", "tree_"):
+            if d.startswith(prefix) and d[len(prefix):].isdigit():
+                if int(d[len(prefix):]) != keep_step:
+                    shutil.rmtree(os.path.join(directory, d),
+                                  ignore_errors=True)
+
+
 def restore(directory: str, template: TrainState) -> Optional[TrainState]:
     """Restore the latest checkpoint into the template's structure."""
     step = latest_step(directory)

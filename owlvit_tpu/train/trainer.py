@@ -177,6 +177,45 @@ class Trainer:
             )
             self.state = shard_state(self.state, self.mesh)
 
+        # --- EMA of the trainable params (training.ema_decay) ----------------
+        # Kept OUTSIDE TrainState (checkpoint structure stays unchanged; the
+        # EMA tree is saved/restored alongside via checkpoint.save_tree).
+        # Only the trainable subtree is averaged — the frozen set never moves.
+        self.ema = None
+        self._ema_step = None
+        self._batches_done = 0
+        if t_.ema_decay:
+            if not 0.0 < t_.ema_decay < 1.0:
+                raise ValueError(
+                    f"training.ema_decay must be in (0, 1), got {t_.ema_decay}"
+                )
+            d = t_.ema_decay
+            self._ema_step = jax.jit(
+                lambda e, p: jax.tree.map(
+                    lambda a, b: a * d + b.astype(a.dtype) * (1.0 - d), e, p
+                ),
+                donate_argnums=(0,),
+            )
+            base = self.state.trainable
+            if t_.checkpoint_dir:
+                restored_ema = ckpt.restore_tree(
+                    t_.checkpoint_dir, int(self.state.step), base
+                )
+                if restored_ema is not None:
+                    base = restored_ema
+                    print("resumed EMA params", flush=True)
+            # match the trainable shardings exactly (restore returns host
+            # arrays; on a mesh the EMA must live where the params live),
+            # then force DISTINCT buffers: train_step donates the state, so
+            # an EMA that aliased the initial trainable would be left holding
+            # deleted buffers after the first step (jitted copy can't alias
+            # its inputs without donation).
+            placed = jax.tree.map(
+                lambda t, e: jax.device_put(e, t.sharding),
+                self.state.trainable, base,
+            )
+            self.ema = jax.jit(lambda p: jax.tree.map(jnp.copy, p))(placed)
+
         scales = (
             jnp.asarray(self.train_ds.class_scales(self.n_classes))
             if cfg.training.use_class_weight
@@ -521,6 +560,18 @@ class Trainer:
         return jax.jit(mk, out_shardings=sharding)()
 
     def _train_one_batch(self, batch) -> dict:
+        """One optimizer step (+ EMA track); routes via _train_one_batch_impl."""
+        terms = self._train_one_batch_impl(batch)
+        self._batches_done += 1
+        accum = max(1, self.cfg.training.grad_accum)
+        # update only on optimizer-update boundaries: under MultiSteps the
+        # params change every `accum` micro-steps; averaging the unchanged
+        # params in between would just distort the effective decay.
+        if self._ema_step is not None and self._batches_done % accum == 0:
+            self.ema = self._ema_step(self.ema, self.state.trainable)
+        return terms
+
+    def _train_one_batch_impl(self, batch) -> dict:
         """One optimizer step; routes through the activation cache if on."""
         if not self.cfg.training.cache_backbone:
             batch.pop("indices", None)
@@ -677,6 +728,17 @@ class Trainer:
         progress = ProgressFormatter()
         class_maps = {name: [] for name in self.labelmap.values()}
         last_val = {}
+        tb = None
+        if t.tensorboard_dir:
+            from owlvit_tpu.utils.tb_writer import TBWriter
+
+            tb = TBWriter(os.path.join(self.workdir, t.tensorboard_dir))
+        if t.keep_best and not t.checkpoint_dir:
+            raise ValueError(
+                "training.keep_best requires training.checkpoint_dir"
+            )
+        best_map = -1.0
+        evals_since_best = 0
 
         if len(self.train_ds) < t.batch_size:
             raise ValueError(
@@ -756,6 +818,14 @@ class Trainer:
                 ) as f:
                     json.dump(class_maps, f)
 
+            improved = False
+            if run_eval:
+                m = float(val_metrics.get("map", 0.0))
+                if m > best_map:
+                    best_map, evals_since_best, improved = m, 0, True
+                else:
+                    evals_since_best += 1
+
             progress.update(epoch, train_metrics, val_metrics)
             progress.print()
             if logger:
@@ -765,10 +835,39 @@ class Trainer:
                          **{f"val_{k}": v for k, v in val_metrics.items()
                             if not k.endswith("per_class")})
                 )
+            if tb:
+                tb.scalars(train_metrics, epoch, prefix="train/")
+                if run_eval:
+                    tb.scalars(val_metrics, epoch, prefix="val/")
+                tb.flush()
             if t.checkpoint_dir and (epoch + 1) % t.checkpoint_every_epochs == 0:
                 path = ckpt.save(t.checkpoint_dir, self.state)
+                if self.ema is not None:
+                    ckpt.save_tree(
+                        t.checkpoint_dir, int(self.state.step), self.ema
+                    )
                 print(f"checkpoint: {path}", flush=True)
+            if improved and t.keep_best:
+                bdir = os.path.join(t.checkpoint_dir, "best")
+                path = ckpt.save(bdir, self.state)
+                if self.ema is not None:
+                    ckpt.save_tree(bdir, int(self.state.step), self.ema)
+                ckpt.prune_steps(bdir, int(self.state.step))
+                print(f"best checkpoint (map={best_map:.4f}): {path}",
+                      flush=True)
+            if (
+                t.early_stop_patience
+                and evals_since_best >= t.early_stop_patience
+            ):
+                print(
+                    f"early stop at epoch {epoch}: no mAP improvement in "
+                    f"{evals_since_best} eval(s) (best {best_map:.4f})",
+                    flush=True,
+                )
+                break
 
+        if tb:
+            tb.close()
         if logger:
             logger.close()
         return last_val
@@ -791,8 +890,15 @@ class Trainer:
             os.makedirs(debug_dir, exist_ok=True)
 
         if infer_fn is None:
+            # EMA weights (when tracked and ema_eval) are what a deployment
+            # would serve — eval and best-checkpoint selection use them too.
+            ev_trainable = (
+                self.ema
+                if self.ema is not None and t.ema_eval
+                else self.state.trainable
+            )
             packed_fn = lambda images: self.eval_step(  # noqa: E731
-                self.state.trainable, self.state.frozen, images
+                ev_trainable, self.state.frozen, images
             )
         else:
             S_img = self.model_cfg.vision.image_size

@@ -96,6 +96,27 @@ class TrainingConfig:
     aug_color: float = 0.0  # brightness/contrast/saturation strength
     aug_scale_min: float = 1.0  # zoom window scale range; <1 crops (zoom
     aug_scale_max: float = 1.0  # in), >1 shrinks onto a zero canvas
+    # --- model selection / regularization (beyond-reference prod knobs) ---
+    # Exponential moving average of the TRAINABLE params (the frozen set
+    # never moves, so averaging it would be a no-op): ema = d*ema + (1-d)*p
+    # after every optimizer update. 0 disables. Standard detector practice
+    # the reference lacks; the averaged weights usually eval better late in
+    # a fine-tune.
+    ema_decay: float = 0.0
+    # When EMA is on, run the eval epoch (and keep_best selection) with the
+    # EMA weights instead of the raw ones.
+    ema_eval: bool = True
+    # Save checkpoint_dir/best whenever the eval mAP improves (the artifact
+    # a deployment actually wants — the reference loses even its final
+    # weights, SURVEY §5.4). Old best steps are pruned.
+    keep_best: bool = False
+    # Stop after N consecutive evals without mAP improvement (0 = off).
+    # Counts EVALS, so it composes with eval_every_epochs.
+    early_stop_patience: int = 0
+    # Emit standard TensorBoard event files (scalars per epoch) here. The
+    # reference imports SummaryWriter but never constructs one (quirk #6);
+    # this is the live, dependency-free implementation (utils/tb_writer.py).
+    tensorboard_dir: Optional[str] = None
     # Gradient accumulation (optax.MultiSteps): k micro-steps of batch_size
     # average their grads into ONE optimizer update — the effective batch is
     # k*batch_size through the same compiled step graph. Use when the target
