@@ -181,6 +181,7 @@ def main():
     # sequence proven on chip across r2+r3 sessions).
     cached = None
     cached_resident = None
+    cached_split = None
     if os.environ.get("BENCH_SKIP_CACHED") != "1":
         from owlvit_tpu.utils.bench_cached import measure_cached_steady_state
 
@@ -188,6 +189,12 @@ def main():
         assert np.isfinite(c["loss"])
         cached = c["gather_imgs_per_sec"]
         cached_resident = c["tail_imgs_per_sec"]
+        cached_split = c.get("split_gather_imgs_per_sec")
+        if cached_split:
+            # the trainer routes device-store steady-state steps through
+            # whichever gather structure is faster (split gather confines
+            # the pool argument to a one-op program); headline follows it
+            cached = max(cached, cached_split)
 
     # --- uncached full step (epoch-1 cost; reference-comparable) -----------
     step, state, data = _build(model, batch, "bfloat16", trainable_last_k=1)

@@ -51,7 +51,10 @@ def _cmd_eval(args):
         else:
             infer_fn = load_exported(args.from_export)
         print(f"eval through exported artifact: {args.from_export}")
-    metrics = trainer.evaluate(infer_fn=infer_fn)
+    metrics = trainer.evaluate(
+        infer_fn=infer_fn,
+        save_detections=getattr(args, "save_detections", None),
+    )
     print(json.dumps({k: (v.tolist() if hasattr(v, "tolist") else v)
                       for k, v in metrics.items()}, indent=2))
 
@@ -258,6 +261,9 @@ def main(argv=None):
                                  "the export batch_size)")
             sp.add_argument("--export-params", default=None,
                             help="npz for a --weightless artifact")
+            sp.add_argument("--save-detections", default=None,
+                            help="write COCO-results-style JSON of every "
+                                 "kept detection (external re-scoring)")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("infer")

@@ -443,6 +443,21 @@ class DetectorServer:
                 stop = True
             elif nxt is not _EMPTY:
                 pend[nxt.conditioned].append(nxt)
+                # Greedily drain the queue before checking deadlines: under
+                # a backlog every queued request is already past its delay
+                # window, so taking one per iteration would trip the
+                # deadline branch below into dispatching batch=1 per
+                # request (observed on chip: a 640-request flood ran as 640
+                # single-row batches at 0.65 img/s, BENCH.md r3g).
+                try:
+                    while True:
+                        more = self._q.get_nowait()
+                        if more is None:
+                            stop = True
+                            break
+                        pend[more.conditioned].append(more)
+                except queue.Empty:
+                    pass
             now = time.perf_counter()
             for is_zs in (False, True):
                 d = pend[is_zs]

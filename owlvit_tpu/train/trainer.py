@@ -441,6 +441,16 @@ class Trainer:
         self.tail_step = jax.jit(tail_loss_update, donate_argnums=(0,))
         self.tail_step_gather = jax.jit(tail_step_gather, donate_argnums=(0,))
         self.scatter_acts = jax.jit(scatter_acts, donate_argnums=(0,))
+        # Split gather: run the pool gather as its OWN one-op program and
+        # feed the tail step directly. The gather itself is ~0.1 ms (r3
+        # gatherprobe); the fused tail_step_gather pays ~6 ms/step at b32
+        # just for CARRYING the multi-GB pool argument through the big
+        # graph. Costs one extra dispatch. OWLVIT_SPLIT_GATHER=0 restores
+        # the fused step.
+        self.pool_gather = jax.jit(pool_gather)
+        self._split_gather = (
+            os.environ.get("OWLVIT_SPLIT_GATHER", "0") == "1"
+        )
         self._cache_qdt = qdt
 
         # --- store backend ---------------------------------------------------
@@ -582,9 +592,14 @@ class Trainer:
 
         if self.act_store == "device":
             if self._acts_filled[idxs].all():
-                self.state, terms = self.tail_step_gather(
-                    self.state, self._acts_dev, jnp.asarray(idxs), *args
-                )
+                jidx = jnp.asarray(idxs)
+                if self._split_gather:
+                    acts = self.pool_gather(self._acts_dev, jidx)
+                    self.state, terms = self.tail_step(self.state, acts, *args)
+                else:
+                    self.state, terms = self.tail_step_gather(
+                        self.state, self._acts_dev, jidx, *args
+                    )
                 return terms
             acts = self.prefix_step(
                 self.state.trainable, self.state.frozen, batch["image"]
@@ -874,14 +889,23 @@ class Trainer:
 
     # -------------------------------------------------------------------- eval
 
-    def evaluate(self, epoch: Optional[int] = None, infer_fn=None) -> dict:
+    def evaluate(self, epoch: Optional[int] = None, infer_fn=None,
+                 save_detections: Optional[str] = None) -> dict:
         """Eval epoch -> COCO mAP dict.
 
         infer_fn: optional deployment-parity hook — a callable
         `images_u8 [B, S, S, 3] -> (boxes, sims)` (e.g. a loaded export
         artifact, train/export.py). The SAME postprocess/metric protocol
         runs on its outputs, so `cli eval --from-export` proves the served
-        artifact reproduces the in-package eval."""
+        artifact reproduces the in-package eval.
+
+        save_detections: optional path; writes every kept detection in
+        COCO-results style ({image_id, image_path, category_id,
+        category_name, bbox [x,y,w,h] absolute px, score}) so external
+        tooling (e.g. pycocotools in an egress-enabled env) can re-score
+        the exact predictions this eval measured. category_id is the DENSE
+        0..C-1 training id (the subset builder's remapping); category_name
+        is the labelmap string."""
         t = self.cfg.training
         metric = MeanAveragePrecision(self.n_classes)
         debug_dir = None
@@ -921,6 +945,8 @@ class Trainer:
                     images = images.reshape(-1, S_img, S_img, 3)
                 return _pack(*infer_fn(images))
 
+        detections = [] if save_detections else None
+        img_idx = 0
         it = batch_iterator(self.test_ds, t.batch_size, shuffle=False)
         # Ground truth and image metadata are consumed on the host only —
         # host_keys keeps them out of the device round trip entirely (each
@@ -956,12 +982,30 @@ class Trainer:
                     gt_boxes[i][gt_mask[i]] * scale,
                     gt_labels[i][gt_mask[i]],
                 )
+                if detections is not None:
+                    abs_boxes = det_boxes * scale
+                    for b, s, c in zip(abs_boxes, det_scores, det_classes):
+                        x0, y0, x1, y1 = (float(v) for v in b)
+                        detections.append({
+                            "image_id": img_idx,
+                            "image_path": paths[i] if paths else None,
+                            "category_id": int(c),
+                            "category_name": self.labelmap.get(int(c), "?"),
+                            "bbox": [x0, y0, x1 - x0, y1 - y0],
+                            "score": float(s),
+                        })
+                img_idx += 1
                 if debug_dir and paths:
                     self._save_debug_image(
                         paths[i], det_boxes * scale,
                         det_classes,
                         os.path.join(debug_dir, f"{bi}_{i}.png"),
                     )
+        if save_detections:
+            with open(save_detections, "w") as f:
+                json.dump(detections, f)
+            print(f"wrote {len(detections)} detections: {save_detections}",
+                  flush=True)
         return metric.compute()
 
     def _save_debug_image(self, src, boxes_abs, classes, out_path):

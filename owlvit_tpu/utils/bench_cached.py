@@ -131,9 +131,31 @@ def measure_cached_steady_state(
     jax.block_until_ready(loss)
     gather_ips = steps * batch / (time.perf_counter() - t0)
 
+    # SPLIT gather: the batch gather runs as its OWN tiny program and the
+    # tail step takes the gathered acts as a direct arg. Rationale: the
+    # gather itself is ~0.1 ms (r3 gatherprobe), so the ~6 ms
+    # gather-vs-resident delta is the tail graph paying for CARRYING the
+    # 2 GB pool argument; confining the pool to a one-op program trades
+    # that for one extra dispatch.
+    try:
+        ggather = jax.jit(lambda pool_, i: pool_[i])
+        acts_g = ggather(acts_all, idxs)
+        jax.block_until_ready(acts_g)
+        state, loss = tstep(state, acts_g, la, bo, gm)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            acts_g = ggather(acts_all, idxs)
+            state, loss = tstep(state, acts_g, la, bo, gm)
+        jax.block_until_ready(loss)
+        split_ips = round(steps * batch / (time.perf_counter() - t0), 2)
+    except Exception:  # noqa: BLE001 - keep the proven numbers on a fault
+        split_ips = None
+
     return {
         "tail_imgs_per_sec": round(tail_ips, 2),
         "gather_imgs_per_sec": round(gather_ips, 2),
+        "split_gather_imgs_per_sec": split_ips,
         "loss": float(loss),
         "acts_mb": round(acts_mb, 1),
         "pool_imgs": int(pool),

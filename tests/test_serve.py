@@ -487,3 +487,24 @@ def test_overload_shedding(detector):
     srv.submit(img)
     with pytest.raises(ServerOverloaded, match="max_queue"):
         srv.submit(img)
+
+
+def test_backlog_forms_full_batches(detector):
+    """Under a backlog, dispatch must drain the queue greedily and form
+    full buckets. Regression: every queued request is already past its
+    delay window, so without the greedy drain the deadline branch shipped
+    batch=1 per request (observed on chip: a 640-request flood ran as 640
+    single-row batches at 0.65 img/s)."""
+    params, cfg = detector
+    S = cfg.vision.image_size
+    images = _rand_images(16, S, seed=7)
+    with DetectorServer(params, cfg, buckets=(4,), max_delay_ms=0,
+                        top_k=8, warmup=True) as srv:
+        futs = [srv.submit(img) for img in images]
+        for f in futs:
+            f.result(timeout=60)
+        st = srv.stats()
+    # greedy drain: at most a couple of leading partial batches while the
+    # client is still enqueueing, full 4-buckets after (16 batches = bug)
+    assert st["batches"] <= 8, st
+    assert st["requests"] == 16

@@ -121,6 +121,22 @@ def test_keep_best_and_early_stop(tmp_path):
     assert "val_map" in rec
 
 
+def test_eval_save_detections(tmp_path):
+    root = str(tmp_path)
+    trainer = Trainer(_cfg(root, n_epochs=1), workdir=root)
+    out = os.path.join(root, "dets.json")
+    trainer.evaluate(save_detections=out)
+    dets = json.load(open(out))
+    assert isinstance(dets, list) and len(dets) > 0
+    d = dets[0]
+    assert set(d) == {"image_id", "image_path", "category_id",
+                      "category_name", "bbox", "score"}
+    x, y, w, h = d["bbox"]
+    assert w >= 0 and h >= 0
+    assert 0 <= d["category_id"] < 3
+    assert {dd["image_id"] for dd in dets} <= set(range(4))
+
+
 def test_keep_best_requires_checkpoint_dir(tmp_path):
     root = str(tmp_path)
     trainer = Trainer(_cfg(root, n_epochs=1, keep_best=True), workdir=root)

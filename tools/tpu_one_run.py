@@ -450,6 +450,91 @@ try:
             compile_secs=round(time.time() - t, 1),
             ok=True,
         )
+    elif args.get("emabench") == "1":
+        # EMA dispatch overhead on the cached tail (trainer composition):
+        # the EMA update is a separate tiny jitted program per optimizer
+        # step (training.ema_decay) — measure the steady-state tail step
+        # with and without it in one process.
+        import optax
+
+        from owlvit_tpu.models import get_config, owlvit
+        from owlvit_tpu.ops import losses as loss_ops
+        from owlvit_tpu.ops.preprocess import normalize_image
+        from owlvit_tpu.train.state import (
+            TrainState, combine_params, partition_params,
+        )
+        from owlvit_tpu.utils.bench_cached import build_batch
+
+        n_classes = 80
+        cfg = get_config(model, dtype=dtype, trainable_last_k=k or 1)
+        params = owlvit.init(jax.random.PRNGKey(0), cfg, num_queries=3 * n_classes)
+        trainable, frozen = partition_params(params, k or 1)
+        tx = optax.adamw(3e-6, weight_decay=0.1)
+        state = TrainState(trainable, frozen, tx.init(trainable), jnp.int32(0))
+        data = build_batch(cfg, batch, n_classes)
+
+        def prefix_step(trainable, frozen, images):
+            p = combine_params(trainable, frozen)
+            return owlvit.embed_prefix(p, cfg, normalize_image(images))
+
+        def tail_step(state, acts, labels, boxes, gt_mask):
+            def loss_fn(trainable):
+                p = combine_params(trainable, state.frozen)
+                pb, sims = owlvit.forward_train_from_prefix(p, cfg, acts)
+                terms = loss_ops.push_pull_loss(
+                    sims, pb, labels, boxes, gt_mask, n_classes
+                )
+                return loss_ops.total_loss(terms), terms
+
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.trainable
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+            return (
+                TrainState(
+                    optax.apply_updates(state.trainable, updates),
+                    state.frozen, opt_state, state.step + 1,
+                ),
+                loss,
+            )
+
+        d = float(args.get("decay", "0.999"))
+        ema_step = jax.jit(
+            lambda e, p: jax.tree.map(
+                lambda a, b: a * d + b.astype(a.dtype) * (1.0 - d), e, p
+            ),
+            donate_argnums=(0,),
+        )
+        pstep = jax.jit(prefix_step)
+        tstep = jax.jit(tail_step, donate_argnums=(0,))
+        acts = pstep(state.trainable, state.frozen, data["image"])
+        jax.block_until_ready(acts)
+        la, bo, gm = data["labels"], data["boxes"], data["gt_mask"]
+        state, loss = tstep(state, acts, la, bo, gm)  # compile
+        ema = jax.jit(lambda p: jax.tree.map(jnp.copy, p))(state.trainable)
+        ema = ema_step(ema, state.trainable)  # compile
+        jax.block_until_ready(ema)
+
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, loss = tstep(state, acts, la, bo, gm)
+        jax.block_until_ready(loss)
+        plain = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, loss = tstep(state, acts, la, bo, gm)
+            ema = ema_step(ema, state.trainable)
+        jax.block_until_ready((loss, ema))
+        with_ema = time.perf_counter() - t0
+        rec.update(
+            imgs_per_sec=round(steps * batch / with_ema, 2),
+            plain_imgs_per_sec=round(steps * batch / plain, 2),
+            ema_ms_per_step=round((with_ema - plain) / steps * 1e3, 3),
+            loss=float(loss),
+            compile_secs=round(time.time() - t, 1),
+            ok=True,
+        )
     elif args.get("qcache") == "1":
         # int8 activation-pool store (training.cache_store_dtype=int8):
         # measure the gather+dequant tail step against the bf16-pool gather
@@ -616,6 +701,7 @@ try:
             acts_mb=c["acts_mb"],
             tail_imgs_per_sec=c["tail_imgs_per_sec"],
             imgs_per_sec=c["gather_imgs_per_sec"],
+            split_gather_imgs_per_sec=c.get("split_gather_imgs_per_sec"),
             loss=c["loss"],
             compile_secs=round(time.time() - t, 1),
             pool_imgs=c["pool_imgs"],

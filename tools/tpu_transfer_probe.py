@@ -64,6 +64,31 @@ try:
         lambda: jnp.asarray(img4).block_until_ready())
     rec["h2d_flat_u8_ms"] = timed(
         lambda: jnp.asarray(imgflat).block_until_ready())
+
+    # serve-composition suspects for the 1.3 s/batch h2d seen through the
+    # batched server (vs 62 ms here): (a) a FRESH host buffer per transfer
+    # (serve assembles a new np.zeros each batch; this file reuses one),
+    # (b) the transfer running on a WORKER THREAD (serve's dispatch thread).
+    fresh = [np.ascontiguousarray(x) for x in
+             np.array_split(rng.integers(0, 255, ((reps + 1) * B, S * S * 3),
+                                         dtype=np.uint8), reps + 1)]
+    it = iter(fresh)
+    rec["h2d_flat_u8_fresh_ms"] = timed(
+        lambda: jnp.asarray(next(it)).block_until_ready())
+
+    import threading
+
+    def from_thread():
+        box = {}
+
+        def work():
+            box["x"] = jnp.asarray(imgflat).block_until_ready()
+
+        th = threading.Thread(target=work)
+        th.start()
+        th.join()
+
+    rec["h2d_flat_u8_thread_ms"] = timed(from_thread)
     rec["h2d_1d_u8_ms"] = timed(
         lambda: jax.device_put(img1d).block_until_ready())
     rec["h2d_3d_u8_ms"] = timed(
@@ -71,19 +96,27 @@ try:
     rec["h2d_4d_f32_ms"] = timed(
         lambda: jnp.asarray(img4f).block_until_ready())
 
-    # D2H: detection-shaped outputs
+    # D2H: detection-shaped outputs. np.asarray on the SAME jax array is
+    # only a real fetch once (jax caches the host copy in _npy_value), so
+    # every rep gets a FRESH device array (produced by a jitted add — the
+    # op itself is negligible next to a relay round trip).
     K = 200
-    boxes = jnp.asarray(rng.random((B, K, 4), np.float32))
-    scores = jnp.asarray(rng.random((B, K), np.float32))
-    classes = jnp.asarray(rng.integers(0, 80, (B, K)), jnp.int32)
-    valid = jnp.asarray(rng.random((B, K)) > 0.5)
-    packed = jnp.asarray(rng.random((B, K * 7), np.float32))
-    jax.block_until_ready((boxes, scores, classes, valid, packed))
-
-    rec["d2h_dict_ms"] = timed(
-        lambda: [np.asarray(x) for x in (boxes, scores, classes, valid)])
-    rec["d2h_packed_ms"] = timed(lambda: np.asarray(packed))
-    rec["d2h_boxes_only_ms"] = timed(lambda: np.asarray(boxes))
+    mk = {
+        "dict": lambda k: (
+            jnp.asarray(rng.random((B, K, 4), np.float32)) + k,
+            jnp.asarray(rng.random((B, K), np.float32)) + k,
+            jnp.asarray(rng.integers(0, 80, (B, K)), jnp.int32) + k,
+            jnp.asarray(rng.random((B, K)) > 0.5),
+        ),
+        "packed": lambda k: jnp.asarray(rng.random((B, K * 7), np.float32)) + k,
+        "boxes_only": lambda k: jnp.asarray(rng.random((B, K, 4), np.float32)) + k,
+    }
+    for case, make in mk.items():
+        fresh = [make(k) for k in range(reps + 1)]
+        jax.block_until_ready(fresh)
+        it = iter(fresh)
+        rec[f"d2h_{case}_ms"] = timed(
+            lambda it=it: jax.tree.map(np.asarray, next(it)))
     rec["ok"] = True
 except Exception as e:  # noqa: BLE001
     rec.update(ok=False, err=repr(e)[:300])
