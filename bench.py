@@ -231,6 +231,7 @@ def main():
                 "cached_resident": (
                     round(cached_resident, 2) if cached is not None else None
                 ),
+                "cached_split_gather": cached_split,
                 "uncached": round(uncached, 2),
                 "uncached_vs_baseline": round(uncached / base, 2) if base else None,
                 "note": (

@@ -643,9 +643,12 @@ try:
             pool * (q[0].nbytes + s[0].nbytes) / 1e6, 1
         )
 
-        # drift: forward loss + detections, exact vs dequantized acts
-        def fwd_loss(acts):
-            p = combine_params(state.trainable, state.frozen)
+        # drift: forward loss + detections, exact vs dequantized acts.
+        # params/labels must be ARGS, not closure constants — baked-in
+        # weights blow the remote-compile request past its HTTP 413 size
+        # cap (observed r3g).
+        def fwd_loss(trainable, frozen, acts, la, bo, gm):
+            p = combine_params(trainable, frozen)
             pb, sims = owlvit.forward_train_from_prefix(p, cfg, acts)
             terms = loss_ops.push_pull_loss(
                 sims, pb, la, bo, gm, n_classes
@@ -656,8 +659,8 @@ try:
         deq = jax.jit(
             lambda q, s: dequantize_rows(q, s, jnp.dtype(dtype))
         )(q, s)
-        l_exact, (pb0, s0) = f(acts)
-        l_quant, (pb1, s1) = f(deq)
+        l_exact, (pb0, s0) = f(state.trainable, state.frozen, acts, la, bo, gm)
+        l_quant, (pb1, s1) = f(state.trainable, state.frozen, deq, la, bo, gm)
         jax.block_until_ready((l_exact, l_quant))
         s0n, s1n = np.asarray(s0, np.float32), np.asarray(s1, np.float32)
         rec["loss_exact"] = round(float(l_exact), 6)
