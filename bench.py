@@ -120,7 +120,7 @@ def _measure(step, state, data, n_steps):
         state, loss = step(state, data)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
-    return n_steps / dt, float(loss)
+    return n_steps / dt, float(loss), state
 
 
 def main():
@@ -198,23 +198,45 @@ def main():
 
     # --- uncached full step (epoch-1 cost; reference-comparable) -----------
     step, state, data = _build(model, batch, "bfloat16", trainable_last_k=1)
-    sps, loss = _measure(step, state, data, n_steps)
+    sps, loss, _ = _measure(step, state, data, n_steps)
     uncached = sps * batch
     assert np.isfinite(loss)
     del step, state, data
 
     # --- reference-equivalent baseline on the same chip --------------------
     base = None
+    base_arms = None
     if os.environ.get("BENCH_SKIP_BASELINE") != "1":
         # Reference-equivalent config: fp32, batch=1, backward only through
         # the last layer (the reference's requires_grad=False set means torch
         # never builds the frozen layers' backward either), and no cache
         # (the reference recomputes the frozen backbone every step).
+        # Median of 3 arms: the r1-r3 headline ratio moved +-8% purely from
+        # single-arm baseline noise (BENCH.md); the median pins it.
         ref_steps = max(4, n_steps // 4)
         step_r, state_r, data_r = _build(model, 1, "float32", trainable_last_k=1)
-        sps_r, loss_r = _measure(step_r, state_r, data_r, ref_steps)
-        assert np.isfinite(loss_r)
-        base = sps_r * 1.0
+        base_arms = []
+        for _ in range(3):
+            # thread the state: the jitted step donates its input buffers
+            sps_r, loss_r, state_r = _measure(step_r, state_r, data_r, ref_steps)
+            assert np.isfinite(loss_r)
+            base_arms.append(round(sps_r, 2))
+        base = float(np.median(base_arms))
+        del step_r, state_r, data_r
+
+    # --- MFU (analytic matmul FLOPs vs chip bf16 peak) ----------------------
+    from owlvit_tpu.models import get_config
+    from owlvit_tpu.utils import flops as flops_mod
+
+    mfu_cfg = get_config(model, trainable_last_k=1)
+    kind = jax.devices()[0].device_kind
+    peak = flops_mod.chip_peak_flops(kind)
+    mfu_uncached = flops_mod.mfu(
+        uncached, flops_mod.train_flops_per_image(mfu_cfg), peak
+    )
+    mfu_cached = flops_mod.mfu(
+        cached or 0, flops_mod.train_flops_per_image(mfu_cfg, cached=True), peak
+    )
 
     headline = cached if cached is not None else uncached
     regime = "cached steady state" if cached is not None else "uncached"
@@ -234,13 +256,21 @@ def main():
                 "cached_split_gather": cached_split,
                 "uncached": round(uncached, 2),
                 "uncached_vs_baseline": round(uncached / base, 2) if base else None,
+                "baseline_arms": base_arms,
+                "mfu_cached": round(mfu_cached, 4) if mfu_cached else None,
+                "mfu_uncached": round(mfu_uncached, 4) if mfu_uncached else None,
+                "chip": kind,
+                "chip_peak_bf16_tflops": round(peak / 1e12) if peak else None,
                 "note": (
                     "value = activation-cache steady-state step (config.yaml "
                     "default, epochs >=2 of a fine-tune; loss-identical to "
                     "the uncached step, on-chip A/B in BENCH.md). baseline = "
                     "reference algorithmic config on the same chip (fp32 b1 "
                     "trainable_last_k=1, frozen backbone recomputed every "
-                    "step, as /root/reference/main.py does)."
+                    "step, as /root/reference/main.py does; median of 3 "
+                    "arms). mfu = analytic matmul FLOPs / chip bf16 peak "
+                    "(cached counts only the tail's useful FLOPs — "
+                    "owlvit_tpu/utils/flops.py)."
                 ),
             }
         )
