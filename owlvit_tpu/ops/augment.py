@@ -40,15 +40,27 @@ import numpy as np
 _LUMA = np.asarray([0.299, 0.587, 0.114], np.float32)
 
 
+def mirror_boxes(boxes: jnp.ndarray, flip: jnp.ndarray) -> jnp.ndarray:
+    """x-mirror normalized-xyxy boxes [B,G,4] where flip [B] is True."""
+    x1, y1, x2, y2 = (boxes[..., i] for i in range(4))
+    mirrored = jnp.stack([1.0 - x2, y1, 1.0 - x1, y2], axis=-1)
+    return jnp.where(flip[:, None, None], mirrored, boxes)
+
+
+def apply_hflip(images, boxes, flip):
+    """Deterministic hflip core: flip [B] bool selects which images/boxes
+    mirror. Shared by the keyed `hflip` and the cached-hflip train path
+    (training.augment_hflip), whose flip decisions are sampled host-side so
+    the activation-pool row choice and the in-graph mirror agree."""
+    images = jnp.where(flip[:, None, None, None], images[:, :, ::-1, :], images)
+    return images, mirror_boxes(boxes, flip)
+
+
 def hflip(key, images, boxes, prob: float = 0.5):
     """Per-image random horizontal flip. images [B,H,W,3] float, boxes
     [B,G,4] normalized xyxy -> (images, boxes)."""
     flip = jax.random.bernoulli(key, prob, (images.shape[0],))
-    images = jnp.where(flip[:, None, None, None], images[:, :, ::-1, :], images)
-    x1, y1, x2, y2 = (boxes[..., i] for i in range(4))
-    mirrored = jnp.stack([1.0 - x2, y1, 1.0 - x1, y2], axis=-1)
-    boxes = jnp.where(flip[:, None, None], mirrored, boxes)
-    return images, boxes
+    return apply_hflip(images, boxes, flip)
 
 
 def color_jitter(key, images, strength: float):

@@ -317,8 +317,22 @@ def _group_heads(num_heads: int, head_dim: int) -> int:
 # slicing below is the only Mosaic-legal shape for this kernel.
 
 
+def _static_max_env():
+    """OWLVIT_STATIC_MAX=<float>: the packed fwd kernel computes
+    exp(s - C) with this compile-time constant instead of the per-row max —
+    dropping the [BQ, S] max reduction and its broadcast subtract (two of
+    the softmax's five VPU passes; the fwd trace shows the kernel
+    exp/mask-bound at ~3x matmul-only SoL). Softmax is shift-invariant, so
+    the output and the stashed lse (= C + log(sum)) are mathematically
+    IDENTICAL for any C; fp-wise it is safe while max(s) - C stays inside
+    fp32 exp range (~±88; ViT attention logits are O(±30)). A/B knob,
+    default off; parity checked by tools/tpu_kernel_parity.py."""
+    v = _os.environ.get("OWLVIT_STATIC_MAX")
+    return float(v) if v else None
+
+
 def _pk_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
-                   *, scale, hg, hd, fast_softmax):
+                   *, scale, hg, hd, fast_softmax, static_max=None):
     q = q_ref[0]  # [BQ, hg*hd]
     k = k_ref[0]  # [S_pad, hg*hd]
     v = v_ref[0]
@@ -337,6 +351,20 @@ def _pk_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
         # key-pad masking as ONE broadcast add of a precomputed [1, S] bias
         # row (0 real / -1e30 pad) instead of iota+compare+select passes
         s = s + bias_ref[0]
+        if static_max is not None:
+            # shift-invariant softmax with a fixed shift: no max pass (see
+            # _static_max_env). Pad columns hold -1e30 -> exp underflows to
+            # exactly 0, same as the max-shifted form.
+            c = jnp.float32(static_max)
+            p = jnp.exp(s - c)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            oh = jax.lax.dot_general(
+                p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / l
+            outs.append(oh)
+            lses.append(c + jnp.log(l))
+            continue
         m = jnp.max(s, axis=-1, keepdims=True)
         if fast_softmax and v.dtype != jnp.float32:
             # exp in the input dtype (2x VPU rate, half the VMEM traffic on
@@ -474,7 +502,7 @@ def _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False):
                              memory_space=pltpu.VMEM)
         kern = functools.partial(
             _pk_fwd_kernel, scale=scale, hg=hg, hd=hd,
-            fast_softmax=fast_softmax,
+            fast_softmax=fast_softmax, static_max=_static_max_env(),
         )
         return pl.pallas_call(
             kern,

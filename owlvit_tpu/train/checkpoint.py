@@ -29,6 +29,18 @@ def _prune_empty(tree):
     )
 
 
+def _abstract_leaf(x):
+    """ShapeDtypeStruct carrying the template leaf's sharding when it has
+    one: a mesh-sharded trainer restores each shard directly to its device
+    instead of materializing host-replicated arrays and re-sharding."""
+    if not hasattr(x, "dtype"):
+        return x
+    sh = getattr(x, "sharding", None)
+    if isinstance(sh, jax.sharding.Sharding):
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh)
+    return jax.ShapeDtypeStruct(getattr(x, "shape", ()), x.dtype)
+
+
 def save(directory: str, state: TrainState) -> str:
     step = int(state.step)
     path = _ckpt_path(directory, step)
@@ -65,14 +77,7 @@ def restore_tree(directory: str, step: int, template) -> Optional[object]:
     if not os.path.isdir(path):
         return None
     ckptr = ocp.StandardCheckpointer()
-    abstract = _prune_empty(
-        jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(getattr(x, "shape", ()), x.dtype)
-            if hasattr(x, "dtype")
-            else x,
-            template,
-        )
-    )
+    abstract = _prune_empty(jax.tree.map(_abstract_leaf, template))
     restored = ckptr.restore(path, abstract)
     return jax.tree.map(
         lambda t, r: t if r is None else r, template, restored,
@@ -102,14 +107,7 @@ def restore(directory: str, template: TrainState) -> Optional[TrainState]:
         return None
     ckptr = ocp.StandardCheckpointer()
     tmpl = dict(template._asdict())
-    abstract = _prune_empty(
-        jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(getattr(x, "shape", ()), x.dtype)
-            if hasattr(x, "dtype")
-            else x,
-            tmpl,
-        )
-    )
+    abstract = _prune_empty(jax.tree.map(_abstract_leaf, tmpl))
     restored = ckptr.restore(_ckpt_path(directory, step), abstract)
     # re-insert the template's zero-size leaves where we saved None
     merged = jax.tree.map(

@@ -248,8 +248,20 @@ class Trainer:
             raise ValueError(
                 "training.augment and training.cache_backbone are mutually "
                 "exclusive: the activation cache stores frozen-prefix outputs "
-                "of CONSTANT pixels; augmentation changes pixels every step"
+                "of CONSTANT pixels; augmentation changes pixels every step. "
+                "For flip augmentation under the cache use "
+                "training.augment_hflip (deterministic two-row pool)."
             )
+        if aug.augment and aug.augment_hflip:
+            raise ValueError(
+                "training.augment already includes hflip (training.aug_hflip); "
+                "training.augment_hflip is the cache-compatible variant — "
+                "enable one or the other"
+            )
+        # hflip decisions are sampled HOST-side (Philox keyed by seed+step,
+        # _sample_flips) so the cached path's pool-row choice and the
+        # in-graph box mirror see the same bits.
+        self._hflip = aug.augment_hflip
         aug_key = jax.random.PRNGKey(aug.seed) if aug.augment else None
 
         S_img = mcfg.vision.image_size
@@ -270,9 +282,16 @@ class Trainer:
             # constants created during a trace leak as stale tracers into
             # the next retrace (second Trainer in one process)
             from owlvit_tpu.ops.augment import augment_batch
+        if self._hflip:
+            from owlvit_tpu.ops.augment import apply_hflip
 
         def train_step(state: TrainState, batch):
             batch = {**batch, "image": unflatten_images(batch["image"])}
+            if "flip" in batch:  # augment_hflip, uncached path (host-sampled)
+                img, bxs = apply_hflip(
+                    batch["image"], batch["boxes"], batch.pop("flip")
+                )
+                batch = {**batch, "image": img, "boxes": bxs}
             if aug.augment:
                 k = jax.random.fold_in(aug_key, state.step)
                 img, bxs, msk = augment_batch(
@@ -349,7 +368,8 @@ class Trainer:
             f"{cache_desc} | batch={t.batch_size}"
             + (f" | grad_accum={t.grad_accum} (eff. batch "
                f"{t.grad_accum * t.batch_size})" if t.grad_accum > 1 else "")
-            + (" | augment ON" if t.augment else ""),
+            + (" | augment ON" if t.augment else "")
+            + (" | hflip ON (cache-compatible)" if t.augment_hflip else ""),
             flush=True,
         )
 
@@ -369,12 +389,20 @@ class Trainer:
             )
         compute_dtype = jnp.dtype(mcfg.dtype)
 
-        def prefix_step(trainable, frozen, images):
+        if self._hflip:
+            from owlvit_tpu.ops.augment import mirror_boxes
+
+        def prefix_step(trainable, frozen, images, flipped: bool = False):
             params = combine_params(trainable, frozen)
             images = self._unflatten_images(images)
+            if flipped:  # the pool's odd rows: prefix of the x-mirrored image
+                images = images[:, :, ::-1, :]
             return owlvit.embed_prefix(params, mcfg, normalize_image(images))
 
-        def tail_loss_update(state, acts, labels, boxes, gt_mask):
+        def tail_loss_update(state, acts, labels, boxes, gt_mask, flip=None):
+            if flip is not None:  # augment_hflip: acts row already mirrored,
+                boxes = mirror_boxes(boxes, flip)  # GT mirrors in-graph
+
             def loss_fn(trainable):
                 params = combine_params(trainable, state.frozen)
                 pb, sims = owlvit.forward_train_from_prefix(params, mcfg, acts)
@@ -433,11 +461,12 @@ class Trainer:
                     }
                 return pool.at[idxs].set(acts)
 
-        def tail_step_gather(state, pool, idxs, labels, boxes, gt_mask):
+        def tail_step_gather(state, pool, idxs, labels, boxes, gt_mask,
+                             flip=None):
             acts = pool_gather(pool, idxs)
-            return tail_loss_update(state, acts, labels, boxes, gt_mask)
+            return tail_loss_update(state, acts, labels, boxes, gt_mask, flip)
 
-        self.prefix_step = jax.jit(prefix_step)
+        self.prefix_step = jax.jit(prefix_step, static_argnums=(3,))
         self.tail_step = jax.jit(tail_loss_update, donate_argnums=(0,))
         self.tail_step_gather = jax.jit(tail_step_gather, donate_argnums=(0,))
         self.scatter_acts = jax.jit(scatter_acts, donate_argnums=(0,))
@@ -484,7 +513,8 @@ class Trainer:
             elt = 2 if mcfg.dtype == "bfloat16" else 4
             if qdt == "int8":  # int8 payload + one f32 scale per token
                 elt = 1 + 4.0 / mcfg.vision.hidden_size
-            total = len(self.train_ds) * S * mcfg.vision.hidden_size * elt
+            rows = (2 if self._hflip else 1) * len(self.train_ds)
+            total = rows * S * mcfg.vision.hidden_size * elt
             # 10 GB leaves ~5 GB of v5e HBM for params/opt/activations; the
             # reference recipe (2500 imgs, B/16 bf16: 9.34 GB) fits on-device.
             store = "device" if total <= 10e9 else "disk"
@@ -495,9 +525,19 @@ class Trainer:
                 "memmap already persists at the activation dtype; if 'auto' "
                 "picked disk, the set exceeds HBM even quantized)"
             )
+        if self._hflip and store == "disk":
+            raise ValueError(
+                "training.augment_hflip with cache_backbone requires the "
+                "device store (two pool rows per image, selected per step); "
+                f"the store resolved to 'disk'. Shrink the set, use "
+                "cache_store_dtype: int8 (halves the pool), or drop hflip."
+            )
         self.act_store = store
-        self._acts_dev = None  # [N, S_pad, D] device array (device store)
-        self._acts_filled = np.zeros((len(self.train_ds),), bool)
+        self._acts_dev = None  # [rows, S_pad, D] device array (device store)
+        # hflip: rows 2i (as-is) / 2i+1 (x-mirrored) — interleaving keeps a
+        # sharded pool's gathers rank-local under shard_aligned_batches
+        self._pool_rows = (2 if self._hflip else 1) * len(self.train_ds)
+        self._acts_filled = np.zeros((self._pool_rows,), bool)
 
         self.act_cache = None
         if store == "disk":
@@ -535,6 +575,7 @@ class Trainer:
                     "quant_backbone": m.quant_backbone
                     or os.environ.get("OWLVIT_QUANT_BACKBONE") == "1",
                     "fast_softmax": os.environ.get("OWLVIT_FAST_SOFTMAX", "0"),
+                    "static_max": os.environ.get("OWLVIT_STATIC_MAX", ""),
                     "attention_impl": owlvit._attn_impl(mcfg),
                     "seed": t.seed,
                     "dataset": img_ids,
@@ -581,37 +622,79 @@ class Trainer:
             self.ema = self._ema_step(self.ema, self.state.trainable)
         return terms
 
+    def _sample_flips(self, n: int) -> np.ndarray:
+        """Per-step hflip decisions (training.augment_hflip): host-side
+        Philox keyed by (seed, batch counter) — deterministic per config,
+        and shared bits between the pool-row choice and the in-graph box
+        mirror (the cached and uncached paths flip identically)."""
+        rng = np.random.Generator(
+            np.random.Philox(
+                key=[self.cfg.training.seed, self._batches_done]
+            )
+        )
+        return rng.random(n) < 0.5
+
     def _train_one_batch_impl(self, batch) -> dict:
         """One optimizer step; routes through the activation cache if on."""
         if not self.cfg.training.cache_backbone:
             batch.pop("indices", None)
+            if self._hflip:
+                n = batch["labels"].shape[0]
+                batch["flip"] = jnp.asarray(self._sample_flips(n))
             self.state, terms = self.train_step(self.state, batch)
             return terms
         idxs = np.asarray(batch.pop("indices"))
         args = (batch["labels"], batch["boxes"], batch["gt_mask"])
+        flip = None
+        rows = idxs
+        if self._hflip:
+            flip_np = self._sample_flips(len(idxs))
+            rows = 2 * idxs + flip_np.astype(np.int64)
+            flip = jnp.asarray(flip_np)
 
         if self.act_store == "device":
-            if self._acts_filled[idxs].all():
-                jidx = jnp.asarray(idxs)
-                if self._split_gather:
-                    acts = self.pool_gather(self._acts_dev, jidx)
-                    self.state, terms = self.tail_step(self.state, acts, *args)
-                else:
-                    self.state, terms = self.tail_step_gather(
-                        self.state, self._acts_dev, jidx, *args
+            if not self._acts_filled[rows].all():
+                acts = self.prefix_step(
+                    self.state.trainable, self.state.frozen, batch["image"]
+                )
+                if self._acts_dev is None:
+                    shape = (self._pool_rows,) + acts.shape[1:]
+                    self._acts_dev = self._init_pool(shape, acts.dtype)
+                if self._hflip:
+                    # fill BOTH variants from the one transferred batch
+                    acts_f = self.prefix_step(
+                        self.state.trainable, self.state.frozen,
+                        batch["image"], True,
                     )
-                return terms
-            acts = self.prefix_step(
-                self.state.trainable, self.state.frozen, batch["image"]
-            )
-            if self._acts_dev is None:
-                shape = (len(self.train_ds),) + acts.shape[1:]
-                self._acts_dev = self._init_pool(shape, acts.dtype)
-            self._acts_dev = self.scatter_acts(
-                self._acts_dev, jnp.asarray(idxs), acts
-            )
-            self._acts_filled[idxs] = True
-            self.state, terms = self.tail_step(self.state, acts, *args)
+                    self._acts_dev = self.scatter_acts(
+                        self._acts_dev, jnp.asarray(2 * idxs), acts
+                    )
+                    self._acts_dev = self.scatter_acts(
+                        self._acts_dev, jnp.asarray(2 * idxs + 1), acts_f
+                    )
+                    self._acts_filled[2 * idxs] = True
+                    self._acts_filled[2 * idxs + 1] = True
+                    # fall through to the gather path: both rows now filled
+                else:
+                    self._acts_dev = self.scatter_acts(
+                        self._acts_dev, jnp.asarray(idxs), acts
+                    )
+                    self._acts_filled[idxs] = True
+                    # acts already in hand — skip the gather
+                    self.state, terms = self.tail_step(
+                        self.state, acts, *args, None
+                    )
+                    return terms
+            jidx = jnp.asarray(rows)
+            if self._split_gather:
+                acts = self.pool_gather(self._acts_dev, jidx)
+                self.state, terms = self.tail_step(
+                    self.state, acts, *args, flip
+                )
+            else:
+                self.state, terms = self.tail_step_gather(
+                    self.state, self._acts_dev, jidx, *args, flip
+                )
             return terms
 
         # disk store
@@ -633,6 +716,11 @@ class Trainer:
         if not self.cfg.training.cache_backbone:
             return None
         if self.act_store == "device":
+            if self._hflip:  # pixels needed until BOTH pool rows are filled
+                return lambda idxs: not (
+                    self._acts_filled[2 * np.asarray(idxs)].all()
+                    and self._acts_filled[2 * np.asarray(idxs) + 1].all()
+                )
             return lambda idxs: not self._acts_filled[np.asarray(idxs)].all()
         return lambda idxs: not self.act_cache.has(idxs)
 

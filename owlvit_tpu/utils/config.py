@@ -96,6 +96,14 @@ class TrainingConfig:
     aug_color: float = 0.0  # brightness/contrast/saturation strength
     aug_scale_min: float = 1.0  # zoom window scale range; <1 crops (zoom
     aug_scale_max: float = 1.0  # in), >1 shrinks onto a zero canvas
+    # Deterministic horizontal-flip augmentation that COMPOSES with the
+    # activation cache (unlike `augment`): hflip has exactly two outcomes
+    # per image, so the device pool stores both prefixes (rows 2i / 2i+1,
+    # interleaved to keep sharded gathers rank-local) and each step samples
+    # which row to gather, mirroring the GT boxes in-graph. Doubles the pool
+    # (cache_store_dtype: int8 halves it back). Works uncached too (plain
+    # p=0.5 flip). Mutually exclusive with `augment`; device store only.
+    augment_hflip: bool = False
     # --- model selection / regularization (beyond-reference prod knobs) ---
     # Exponential moving average of the TRAINABLE params (the frozen set
     # never moves, so averaging it would be a no-op): ema = d*ema + (1-d)*p

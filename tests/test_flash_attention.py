@@ -335,3 +335,47 @@ def test_fused_bq_halving_gate(rng, monkeypatch):
     f32 = [jnp.asarray(x) for x in (q2, k2, v2)]
     jax.grad(loss, argnums=(0, 1, 2))(*f32)
     assert "fused" not in called, "fp32 long-S must fall back to the split pair"
+
+
+def test_static_max_softmax_matches_standard(rng, monkeypatch):
+    """OWLVIT_STATIC_MAX: exp(s - C) with a compile-time constant instead of
+    the per-row max (the packed fwd's VPU-pass-reduction A/B). Softmax is
+    shift-invariant, so the output AND the stashed lse must match the
+    standard kernel to fp tolerance for any sane C."""
+    monkeypatch.setenv("OWLVIT_PACKED_FLASH", "1")
+    import owlvit_tpu.ops.flash_attention as fa
+
+    B, S, H, hd = 2, 130, 4, 64
+    D = H * hd
+    q2, k2, v2 = (
+        jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32) for _ in range(3)
+    )
+    scale = hd**-0.5
+    base_o, base_lse = fa._pk_fwd(q2, k2, v2, scale, S, H, hd)
+    for c in ("0", "5.0"):
+        monkeypatch.setenv("OWLVIT_STATIC_MAX", c)
+        o, lse = fa._pk_fwd(q2, k2, v2, scale, S, H, hd)
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(base_o), rtol=2e-5, atol=2e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(lse), np.asarray(base_lse), rtol=2e-5, atol=2e-6
+        )
+    monkeypatch.delenv("OWLVIT_STATIC_MAX")
+    # and the full custom-vjp path still differentiates (lse-based recompute
+    # is shift-independent, so grads stay consistent)
+    monkeypatch.setenv("OWLVIT_STATIC_MAX", "3.0")
+    co = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+
+    def f(q, k, v):
+        return jnp.sum(
+            fa.flash_attention_packed(q, k, v, scale=scale, num_heads=H) * co
+        )
+
+    g = jax.grad(f, argnums=(0, 1, 2))(q2, k2, v2)
+    monkeypatch.delenv("OWLVIT_STATIC_MAX")
+    g_ref = jax.grad(f, argnums=(0, 1, 2))(q2, k2, v2)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6
+        )

@@ -35,6 +35,10 @@ if "matchmask" in args:  # r3 diagnostic: force-disable the padded-row skip
 # prune=1: exact top-G column pruning in the Hungarian solve (matcher.py
 # hungarian_pruned) — A/B via `loss=1 prune=0|1` and `cached=1 prune=0|1`
 os.environ["OWLVIT_MATCH_PRUNE"] = args.get("prune", "0")
+# staticmax=<C>: fixed-shift softmax in the packed fwd kernel (no per-row
+# max pass; flash_attention._static_max_env) — A/B via `infer=1 staticmax=0`
+if "staticmax" in args:
+    os.environ["OWLVIT_STATIC_MAX"] = args["staticmax"]
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -446,6 +450,91 @@ try:
         rec.update(
             imgs_per_sec=round(steps * batch / dt, 2),
             effective_batch=accum * batch,
+            loss=float(loss),
+            compile_secs=round(time.time() - t, 1),
+            ok=True,
+        )
+    elif args.get("hflip") == "1":
+        # training.augment_hflip steady-state cost on the cached tail:
+        # gather from a TWO-row-per-image pool (rows 2i / 2i+1 = flipped
+        # prefix) + in-graph GT mirror + the [B] flip argument. Compare
+        # against the same-campaign `cached=1` gather number.
+        import numpy as np
+        import optax
+
+        from owlvit_tpu.models import get_config, owlvit
+        from owlvit_tpu.ops import losses as loss_ops
+        from owlvit_tpu.ops.augment import mirror_boxes
+        from owlvit_tpu.ops.preprocess import normalize_image
+        from owlvit_tpu.train.state import (
+            TrainState, combine_params, partition_params,
+        )
+        from owlvit_tpu.utils.bench_cached import build_batch
+
+        n_classes = 80
+        cfg = get_config(model, dtype=dtype, trainable_last_k=k or 1)
+        params = owlvit.init(jax.random.PRNGKey(0), cfg, num_queries=3 * n_classes)
+        trainable, frozen = partition_params(params, k or 1)
+        tx = optax.adamw(3e-6, weight_decay=0.1)
+        state = TrainState(trainable, frozen, tx.init(trainable), jnp.int32(0))
+        data = build_batch(cfg, batch, n_classes)
+
+        def prefix_step(trainable, frozen, images, flipped=False):
+            p = combine_params(trainable, frozen)
+            if flipped:
+                images = images[:, :, ::-1, :]
+            return owlvit.embed_prefix(p, cfg, normalize_image(images))
+
+        def tail_step(state, pool, rows, flip, labels, boxes, gt_mask):
+            acts = pool[rows]
+            boxes = mirror_boxes(boxes, flip)
+
+            def loss_fn(trainable):
+                p = combine_params(trainable, state.frozen)
+                pb, sims = owlvit.forward_train_from_prefix(p, cfg, acts)
+                terms = loss_ops.push_pull_loss(
+                    sims, pb, labels, boxes, gt_mask, n_classes
+                )
+                return loss_ops.total_loss(terms), terms
+
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.trainable
+            )
+            updates, opt_state = tx.update(
+                grads, state.opt_state, state.trainable
+            )
+            return (
+                TrainState(
+                    optax.apply_updates(state.trainable, updates),
+                    state.frozen, opt_state, state.step + 1,
+                ),
+                loss,
+            )
+
+        pstep = jax.jit(prefix_step, static_argnums=(3,))
+        acts = pstep(state.trainable, state.frozen, data["image"])
+        acts_f = pstep(state.trainable, state.frozen, data["image"], True)
+        jax.block_until_ready((acts, acts_f))
+        row_bytes = acts.shape[1] * acts.shape[2] * acts.dtype.itemsize
+        imgs = max(batch, min(2500, int(2e9 / row_bytes)))  # match cached=1
+        pool = jnp.zeros((2 * imgs,) + acts.shape[1:], acts.dtype)
+        pool = pool.at[0:2 * batch:2].set(acts)
+        pool = pool.at[1:2 * batch + 1:2].set(acts_f)
+        flip_np = (np.arange(batch) % 2).astype(bool)
+        rows = jnp.asarray(2 * np.arange(batch) + flip_np)
+        flip = jnp.asarray(flip_np)
+        la, bo, gm = data["labels"], data["boxes"], data["gt_mask"]
+        tstep = jax.jit(tail_step, donate_argnums=(0,))
+        state, loss = tstep(state, pool, rows, flip, la, bo, gm)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, loss = tstep(state, pool, rows, flip, la, bo, gm)
+        jax.block_until_ready(loss)
+        dt = time.perf_counter() - t0
+        rec.update(
+            imgs_per_sec=round(steps * batch / dt, 2),
+            pool_imgs=imgs, pool_rows=2 * imgs,
             loss=float(loss),
             compile_secs=round(time.time() - t, 1),
             ok=True,
