@@ -57,6 +57,11 @@ def test_giou_hand_values():
 
 def test_vs_torchvision(rng):
     torchvision = pytest.importorskip("torchvision")
+    if getattr(torchvision, "__version__", "").endswith("+shim"):
+        # reference_bridge installs an import-only torchvision stand-in
+        # (box_area only) so the literal reference code imports; it has no
+        # box_iou/giou oracle — same situation as "torchvision absent"
+        pytest.skip("only the reference-bridge torchvision shim is present")
     import torch
     from torchvision.ops import box_iou as tv_iou
     from torchvision.ops import generalized_box_iou as tv_giou
