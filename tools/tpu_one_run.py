@@ -206,8 +206,16 @@ try:
             out = istep(params, images)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
+        from owlvit_tpu.utils import flops as flops_mod
+
+        m = flops_mod.mfu(
+            steps * batch / dt,
+            flops_mod.serve_flops_per_image(cfg, num_queries=3 * n_classes),
+            flops_mod.chip_peak_flops(jax.devices()[0].device_kind),
+        )
         rec.update(
             imgs_per_sec=round(steps * batch / dt, 2),
+            mfu=round(m, 4) if m else None,
             compile_secs=round(time.time() - t, 1),
             ok=True,
         )
@@ -375,7 +383,7 @@ try:
             )
 
         astep = jax.jit(train_step, donate_argnums=(0,))
-        sps, loss = bench._measure(astep, state, data, steps)
+        sps, loss, _ = bench._measure(astep, state, data, steps)
         rec.update(
             imgs_per_sec=round(sps * batch, 2),
             loss=float(loss),
@@ -801,7 +809,7 @@ try:
         )
     else:
         step, state, data = bench._build(model, batch, dtype, trainable_last_k=k)
-        sps, loss = bench._measure(step, state, data, steps)
+        sps, loss, _ = bench._measure(step, state, data, steps)
         rec.update(
             imgs_per_sec=round(sps * batch, 2),
             loss=float(loss),

@@ -79,8 +79,16 @@ try:
     wall = time.perf_counter() - tm
     st = srv.stats()
     srv.close()
+    from owlvit_tpu.utils import flops as flops_mod
+
+    _mfu = flops_mod.mfu(
+        total / wall,
+        flops_mod.serve_flops_per_image(cfg, num_queries=3 * 80),
+        flops_mod.chip_peak_flops(jax.devices()[0].device_kind),
+    )
     rec.update(
         imgs_per_sec=round(total / wall, 2),
+        mfu=round(_mfu, 4) if _mfu else None,
         wall_secs=round(wall, 2),
         latency_ms=st.get("latency_ms"),
         batches=st["batches"],
