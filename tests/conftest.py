@@ -24,11 +24,34 @@ jax.config.update("jax_platforms", "cpu")
 # fp32 matmuls must be exact for parity tests (TPU-style bf16 passes off).
 jax.config.update("jax_default_matmul_precision", "highest")
 
+import gc  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 assert jax.default_backend() == "cpu"
 assert len(jax.devices()) == 8
+
+
+@pytest.fixture(autouse=True)
+def _gc_between_tests():
+    """Collect cyclic garbage at a safe point BEFORE each test.
+
+    A finished trainer test leaves its object graph (device buffers, jitted
+    executables, datasets) in reference cycles; without this, CPython's
+    cyclic GC fires at an allocation-count threshold MID-way through a later
+    test's jit compile/execute, and on the CPU backend that teardown
+    measurably corrupts the in-flight computation's numerics (reproduced:
+    test_augment_hflip_cached::test_hflip_cached_matches_uncached followed
+    by test_reference_trajectory drifts our step-0 loss_ce by 0.3%; any
+    delay or an explicit gc.collect() between the two makes it exact again;
+    no package code holds __del__/threads/env state — bisected 2026-08-19).
+    Collecting between tests pins WHEN teardown happens, making the suite
+    deterministic. TPU runs are one-job-per-process (CLAUDE.md) and never
+    hit this.
+    """
+    gc.collect()
+    yield
 
 
 @pytest.fixture
