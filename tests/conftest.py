@@ -33,9 +33,9 @@ assert jax.default_backend() == "cpu"
 assert len(jax.devices()) == 8
 
 
-@pytest.fixture(autouse=True)
-def _gc_between_tests():
-    """Collect cyclic garbage at a safe point BEFORE each test.
+@pytest.fixture(autouse=True, scope="module")
+def _gc_between_modules():
+    """Collect cyclic garbage at a safe point BEFORE each test module.
 
     A finished trainer test leaves its object graph (device buffers, jitted
     executables, datasets) in reference cycles; without this, CPython's
@@ -46,9 +46,11 @@ def _gc_between_tests():
     by test_reference_trajectory drifts our step-0 loss_ce by 0.3%; any
     delay or an explicit gc.collect() between the two makes it exact again;
     no package code holds __del__/threads/env state — bisected 2026-08-19).
-    Collecting between tests pins WHEN teardown happens, making the suite
-    deterministic. TPU runs are one-job-per-process (CLAUDE.md) and never
-    hit this.
+    Collecting between modules pins WHEN teardown happens, making the suite
+    deterministic. Module scope, not per-test: a full gen-2 pass also
+    churns jax's weakref-keyed caches (recompiles), which ballooned the
+    suite from ~16 to >30 min when run per test. TPU runs are
+    one-job-per-process (CLAUDE.md) and never hit this.
     """
     gc.collect()
     yield
