@@ -317,18 +317,37 @@ def _group_heads(num_heads: int, head_dim: int) -> int:
 # slicing below is the only Mosaic-legal shape for this kernel.
 
 
-def _static_max_env():
-    """OWLVIT_STATIC_MAX=<float>: the packed fwd kernel computes
-    exp(s - C) with this compile-time constant instead of the per-row max —
-    dropping the [BQ, S] max reduction and its broadcast subtract (two of
-    the softmax's five VPU passes; the fwd trace shows the kernel
-    exp/mask-bound at ~3x matmul-only SoL). Softmax is shift-invariant, so
-    the output and the stashed lse (= C + log(sum)) are mathematically
-    IDENTICAL for any C; fp-wise it is safe while max(s) - C stays inside
-    fp32 exp range (~±88; ViT attention logits are O(±30)). A/B knob,
-    default off; parity checked by tools/tpu_kernel_parity.py."""
-    v = _os.environ.get("OWLVIT_STATIC_MAX")
-    return float(v) if v else None
+# Default fixed softmax shift for non-fp32 kernels. Any C is mathematically
+# exact (softmax shift invariance; the stashed lse = C + log(sum) is
+# C-invariant, so the backward recomputation stays consistent). C=20 keeps
+# fp32 exp(s - C) finite for logits up to ~+108 and fully precise down to
+# row maxima of ~-68 — ViT attention logits are O(±30) (r2 trace). Measured
+# on chip (r4 A/B at C=0, identical op structure): serving 154.4 -> 171.2
+# img/s (+10.9%), uncached train step 124.8 -> 135.3 img/s (+8.4%); grads
+# agree with the dynamic-max and pure-XLA paths at bf16 eps
+# (tools/tpu_kernel_parity.py, BENCH.md r4).
+_STATIC_MAX_DEFAULT = 20.0
+
+
+def _static_max_env(dtype=None):
+    """Fixed-shift softmax constant for the packed fwd kernel: it computes
+    exp(s - C) with a compile-time C instead of the per-row max — dropping
+    the [BQ, S] max reduction and its broadcast subtract (two of the
+    softmax's five VPU passes; the fwd trace shows the kernel exp/mask-bound
+    at ~3x matmul-only SoL).
+
+    OWLVIT_STATIC_MAX=<float> forces that C; =off (or =dynamic) restores the
+    per-row max; unset -> C=_STATIC_MAX_DEFAULT for non-fp32 kernels (the
+    fp32 path keeps the max-shifted form: it exists for strict-parity runs).
+    Parity is checked on chip by tools/tpu_kernel_parity.py."""
+    v = _os.environ.get("OWLVIT_STATIC_MAX", "")
+    if v.lower() in ("off", "dynamic"):
+        return None
+    if v:
+        return float(v)
+    if dtype is not None and jnp.dtype(dtype) != jnp.float32:
+        return _STATIC_MAX_DEFAULT
+    return None
 
 
 def _pk_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
@@ -502,7 +521,7 @@ def _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False):
                              memory_space=pltpu.VMEM)
         kern = functools.partial(
             _pk_fwd_kernel, scale=scale, hg=hg, hd=hd,
-            fast_softmax=fast_softmax, static_max=_static_max_env(),
+            fast_softmax=fast_softmax, static_max=_static_max_env(q2.dtype),
         )
         return pl.pallas_call(
             kern,

@@ -43,6 +43,15 @@ from owlvit_tpu.utils.logging import JSONLLogger, LossAccumulator, ProgressForma
 from . import checkpoint as ckpt
 from .state import TrainState, combine_params, partition_params
 
+
+def _resolved_static_max(dtype_name: str) -> str:
+    """The softmax shift constant the flash kernels will actually trace with
+    at this model dtype ("" = dynamic per-row max)."""
+    from owlvit_tpu.ops.flash_attention import _static_max_env
+
+    v = _static_max_env(jnp.dtype(dtype_name))
+    return "" if v is None else repr(v)
+
 TrainConfig = Config  # alias: the full config drives the trainer
 
 
@@ -575,7 +584,10 @@ class Trainer:
                     "quant_backbone": m.quant_backbone
                     or os.environ.get("OWLVIT_QUANT_BACKBONE") == "1",
                     "fast_softmax": os.environ.get("OWLVIT_FAST_SOFTMAX", "0"),
-                    "static_max": os.environ.get("OWLVIT_STATIC_MAX", ""),
+                    # resolved value, not the raw env: the default flips on
+                    # for bf16 kernels (flash_attention._static_max_env), so
+                    # a default change must also invalidate stale caches
+                    "static_max": _resolved_static_max(m.dtype),
                     "attention_impl": owlvit._attn_impl(mcfg),
                     "seed": t.seed,
                     "dataset": img_ids,

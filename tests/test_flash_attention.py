@@ -379,3 +379,45 @@ def test_static_max_softmax_matches_standard(rng, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6
         )
+
+
+def test_static_max_default_resolution(monkeypatch):
+    """Since r4 the fixed-shift softmax is the DEFAULT for non-fp32 kernels
+    (+10.9% serving / +8.4% uncached train on chip, grads at bf16 eps vs the
+    dynamic path — BENCH.md r4). fp32 keeps the per-row max (strict-parity
+    path); OWLVIT_STATIC_MAX=off restores it everywhere, =<float> forces C."""
+    import owlvit_tpu.ops.flash_attention as fa
+
+    monkeypatch.delenv("OWLVIT_STATIC_MAX", raising=False)
+    assert fa._static_max_env(jnp.bfloat16) == fa._STATIC_MAX_DEFAULT
+    assert fa._static_max_env(jnp.float32) is None
+    assert fa._static_max_env() is None  # no dtype context -> conservative
+    monkeypatch.setenv("OWLVIT_STATIC_MAX", "off")
+    assert fa._static_max_env(jnp.bfloat16) is None
+    monkeypatch.setenv("OWLVIT_STATIC_MAX", "dynamic")
+    assert fa._static_max_env(jnp.bfloat16) is None
+    monkeypatch.setenv("OWLVIT_STATIC_MAX", "7.5")
+    assert fa._static_max_env(jnp.float32) == 7.5
+    assert fa._static_max_env(jnp.bfloat16) == 7.5
+    monkeypatch.setenv("OWLVIT_STATIC_MAX", "0")
+    assert fa._static_max_env(jnp.bfloat16) == 0.0
+
+    # the bf16 default must track the dynamic-max form at bf16 tolerance
+    monkeypatch.delenv("OWLVIT_STATIC_MAX", raising=False)
+    rng = np.random.default_rng(3)
+    B, S, H, hd = 1, 130, 2, 64
+    D = H * hd
+    q2, k2, v2 = (
+        jnp.asarray(rng.normal(size=(B, S, D)), jnp.bfloat16) for _ in range(3)
+    )
+    scale = hd**-0.5
+    o_def, lse_def = fa._pk_fwd(q2, k2, v2, scale, S, H, hd)
+    monkeypatch.setenv("OWLVIT_STATIC_MAX", "off")
+    o_dyn, lse_dyn = fa._pk_fwd(q2, k2, v2, scale, S, H, hd)
+    np.testing.assert_allclose(
+        np.asarray(o_def, np.float32), np.asarray(o_dyn, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lse_def), np.asarray(lse_dyn), rtol=1e-5, atol=1e-5
+    )
