@@ -11,13 +11,15 @@ module is the TPU-native serving layer on top of the exported/ckpt detector:
     per-token LN, within-image attention), so pad rows cost FLOPs but cannot
     perturb real rows — their outputs are simply dropped.
   * **Single device owner.** JAX is single-controller: exactly one dispatcher
-    thread touches the device. Request threads (or the asyncio HTTP frontend)
-    only enqueue and wait on a Future.
-  * **Pipelined dispatch.** JAX dispatch is asynchronous: the dispatcher
-    enqueues the jitted call and hands the on-device result to a completion
-    thread, which blocks on device→host transfer and fulfils the Futures.
-    Host work for batch k+1 (queueing, padding, H2D) overlaps device compute
-    for batch k.
+    thread touches the device — including the blocking device→host fetch.
+    Request threads (or the asyncio HTTP frontend) only enqueue and wait on
+    a Future; the completion thread does pure-host postprocessing.
+  * **Pipelined dispatch, one thread.** JAX dispatch is asynchronous: the
+    dispatcher enqueues batch k+1's H2D + jitted call BEFORE blocking on
+    batch k's fetch, so the device executes k+1 while the host waits on k.
+    (An earlier two-thread design fetched from a separate completion thread;
+    on the TPU relay, concurrent blocking calls from two threads ran each
+    phase 20-30x slower — BENCH.md r4 serve diagnosis.)
   * **Latency/throughput knob.** `max_delay_ms` bounds how long the first
     request of a batch waits for co-riders (classic dynamic-batching window).
   * **Flat wire format.** Transfers happen in device (tiled) layout, so a
@@ -258,8 +260,12 @@ class DetectorServer:
         self._debug_phases = os.environ.get("OWLVIT_SERVE_PHASES") == "1"
         self._q: queue.Queue = queue.Queue()
         self._max_queue = int(max_queue)
-        # Bounded: caps device work in flight (pipelining without pile-up).
-        self._done_q: queue.Queue = queue.Queue(maxsize=max_inflight)
+        # Caps device work in flight (pipelining without pile-up): the
+        # dispatch loop fetches the oldest in-flight batch before
+        # dispatching past this bound.
+        self._max_inflight = int(max_inflight)
+        # fetched numpy results -> completion thread (pure host postproc)
+        self._done_q: queue.Queue = queue.Queue()
         self._lock = threading.Lock()
         self._stats = {
             "requests": 0, "batches": 0, "zs_batches": 0, "padded_rows": 0,
@@ -421,16 +427,32 @@ class DetectorServer:
         # dispatches when its bucket fills or its OLDEST request's delay
         # window expires — one lane's traffic never delays the other's
         # deadline.
+        #
+        # SINGLE DEVICE THREAD, pipelined via async dispatch: this loop is
+        # the only thread that ever touches JAX. It dispatches batch k+1
+        # (H2D + enqueue exec, both fast) BEFORE blocking on batch k's
+        # device->host fetch — the device is already executing k+1 while the
+        # host waits on k, so pipelining needs no second JAX thread. The r3g
+        # two-thread design (completion thread fetching concurrently with
+        # this thread's H2D) ran 20-30x slower per phase on the relay:
+        # concurrent blocking calls from two threads poison each other
+        # (BENCH.md r4 serve diagnosis); isolated probes of the identical
+        # transfers are fast. Fetched numpy results are handed to the
+        # completion thread, which does pure-host postprocessing only.
         max_b = self.buckets[-1]
         pend = {False: deque(), True: deque()}  # key: is zero-shot
+        inflight: deque = deque()  # (device_out, batch) awaiting fetch
         stop = False
         _EMPTY = object()
-        while not stop or pend[False] or pend[True]:
+        while not stop or pend[False] or pend[True] or inflight:
             heads = [d[0].t_enqueue for d in pend.values() if d]
             timeout = (
                 None if not heads
                 else max(0.0, min(heads) + self.max_delay_s - time.perf_counter())
             )
+            if inflight:
+                # never sleep while results wait on device — fetch instead
+                timeout = 0.0
             try:
                 nxt = (
                     self._q.get(timeout=timeout)
@@ -459,6 +481,7 @@ class DetectorServer:
                 except queue.Empty:
                     pass
             now = time.perf_counter()
+            dispatched = False
             for is_zs in (False, True):
                 d = pend[is_zs]
                 while d and (
@@ -466,15 +489,41 @@ class DetectorServer:
                     or stop
                     or d[0].t_enqueue + self.max_delay_s <= now
                 ):
+                    if len(inflight) >= self._max_inflight:
+                        self._fetch_one(inflight)  # backpressure: drain first
                     batch = [d.popleft() for _ in range(min(len(d), max_b))]
                     try:
-                        self._dispatch(batch, is_zs)
+                        inflight.append((self._dispatch(batch, is_zs), batch))
+                        dispatched = True
                     except Exception as e:  # noqa: BLE001 — device/compile
                         # failure must reach the waiting clients, not hang
                         # their futures forever
                         for req in batch:
                             req.future.set_exception(e)
+            if inflight and not dispatched:
+                # no new work formed this cycle: harvest the oldest result
+                # (its exec overlapped this loop's host work)
+                self._fetch_one(inflight)
         self._done_q.put(None)
+
+    def _fetch_one(self, inflight: deque):
+        """Blocking device->host fetch of the oldest in-flight batch; hands
+        the numpy result to the completion thread. Runs on the dispatch
+        thread (the single JAX thread) — the device keeps executing
+        later-dispatched batches while the host blocks here."""
+        out, batch = inflight.popleft()
+        tf0 = time.perf_counter()
+        try:
+            packed = np.asarray(out)  # blocks on device done, then fetches
+        except Exception as e:  # noqa: BLE001 — async-dispatched device
+            # failure surfaces at fetch; fail the batch's futures
+            for req in batch:
+                req.future.set_exception(e)
+            return
+        if self._debug_phases:
+            with self._lock:
+                self._stats["phase_secs"]["fetch"] += time.perf_counter() - tf0
+        self._done_q.put((packed, batch))
 
     def _embed_queries(self, queries: tuple) -> np.ndarray:
         """Normalized text embeddings [len(queries), proj], one device
@@ -544,26 +593,18 @@ class DetectorServer:
             self._stats["zs_batches"] += int(is_zs)
             self._stats["padded_rows"] += bucket - n
             self._stats["bucket_counts"][bucket] += 1
-        self._done_q.put((out, batch))
+        return out
 
     def _complete_loop(self):
+        # Pure-host postprocessing: unpack the already-fetched numpy block
+        # and resolve futures. No JAX calls here — the dispatch thread is
+        # the only device owner (see _dispatch_loop).
         while True:
             item = self._done_q.get()
             if item is None:
                 return
-            out, batch = item
-            tf0 = time.perf_counter()
-            try:
-                packed = np.asarray(out)  # ONE fetch; blocks on device done
-            except Exception as e:  # noqa: BLE001 — async-dispatched device
-                # failure surfaces at fetch; fail the batch's futures
-                for req in batch:
-                    req.future.set_exception(e)
-                continue
+            packed, batch = item
             now = time.perf_counter()
-            if self._debug_phases:
-                with self._lock:
-                    self._stats["phase_secs"]["fetch"] += now - tf0
             packed = packed.reshape(packed.shape[0], self._top_k, 7)
             for i, req in enumerate(batch):
                 keep = packed[i, :, 6] > 0.5

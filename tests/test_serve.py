@@ -403,6 +403,30 @@ def test_dispatch_failure_fails_futures(detector):
             fut.result(timeout=30)
 
 
+def test_fetch_failure_fails_futures(detector):
+    """An async-dispatched device failure surfaces at the blocking fetch
+    (now on the dispatch thread, _fetch_one) — it must fail that batch's
+    futures, and the server must keep serving afterwards."""
+    params, cfg = detector
+    S = cfg.vision.image_size
+    img = _rand_images(1, S)[0]
+
+    class _Poisoned:
+        def __array__(self, *a, **kw):
+            raise RuntimeError("injected fetch fault")
+
+    with DetectorServer(params, cfg, buckets=(1,), max_delay_ms=1,
+                        top_k=8, warmup=True) as srv:
+        real_serve = srv._serve
+        srv._serve = lambda p, x: _Poisoned()
+        fut = srv.submit(img)
+        with pytest.raises(RuntimeError, match="injected fetch fault"):
+            fut.result(timeout=30)
+        srv._serve = real_serve
+        ok = srv.submit(img).result(timeout=60)  # server survived the fault
+        assert "boxes" in ok
+
+
 def test_text_and_image_queries_share_a_batch(detector):
     """A zero-shot request and a one-shot request ride the SAME
     query-conditioned batch (per-request qemb rows), each resolving to its

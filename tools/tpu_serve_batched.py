@@ -7,7 +7,13 @@ the realized batch histogram — the numbers that matter for production
 serving, vs the fixed-batch 153.9 img/s row in BENCH.md.
 
 Usage: python tools/tpu_serve_batched.py NAME [model=b16] [buckets=32]
-         [rate=0] [total=640] [delay_ms=5] [cpu=0]
+         [rate=0] [total=640] [delay_ms=5] [cpu=0] [phases=1] [direct=N]
+phases=1 sets OWLVIT_SERVE_PHASES (per-batch assemble/h2d/exec/fetch timing;
+disables dispatch pipelining — diagnosis only). direct=N additionally runs N
+main-thread synchronous batches through the SAME warmed executable after the
+flood, timing put/exec/fetch separately plus a dispatch->immediate-fetch
+variant (isolates thread- and pipeline-effects from the graph itself).
+total=0 skips the flood (direct-only process).
 Appends one JSON line to /tmp/tpu_runs.jsonl.
 """
 
@@ -28,6 +34,9 @@ total = int(args.get("total", "640"))
 delay_ms = float(args.get("delay_ms", "5"))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+if args.get("phases") == "1":
+    os.environ["OWLVIT_SERVE_PHASES"] = "1"
+n_direct = int(args.get("direct", "0"))
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
@@ -70,14 +79,66 @@ try:
             futs.append(srv.submit(pool[i % len(pool)]))
 
     tm = time.perf_counter()
-    th = threading.Thread(target=client)
-    th.start()
-    th.join()
+    if total:
+        th = threading.Thread(target=client)
+        th.start()
+        th.join()
     n_det = 0
     for f in futs:
         n_det += len(f.result(timeout=600)["boxes"])
     wall = time.perf_counter() - tm
     st = srv.stats()
+
+    if n_direct:
+        # Main-thread synchronous batches through the SAME warmed executable:
+        # if these run at the direct-path rate while the threaded server
+        # crawls, the gap is in the thread/pipeline interplay with the relay,
+        # not the serving graph. Two fetch variants isolate WHERE a blocking
+        # np.asarray spends its time: after an explicit device sync vs
+        # blocking on the in-flight execution itself.
+        b = buckets[-1]
+        S_ = srv.image_size
+        ph = {k: 0.0 for k in
+              ("assemble", "put", "exec", "fetch", "e2e_sync", "e2e_eager")}
+        # warm both code paths once (first np.asarray may pin host buffers)
+        out = srv._serve(srv._params, srv._put(
+            np.zeros((b, S_ * S_ * 3), np.uint8)))
+        np.asarray(out)
+        for i in range(n_direct):
+            t0_ = time.perf_counter()
+            img = np.zeros((b, S_ * S_ * 3), np.uint8)
+            for j in range(b):
+                img[j] = pool[(i + j) % len(pool)].reshape(-1)
+            t1_ = time.perf_counter()
+            dev = jax.block_until_ready(srv._put(img))
+            t2_ = time.perf_counter()
+            out = jax.block_until_ready(srv._serve(srv._params, dev))
+            t3_ = time.perf_counter()
+            np.asarray(out)
+            t4_ = time.perf_counter()
+            ph["assemble"] += t1_ - t0_
+            ph["put"] += t2_ - t1_
+            ph["exec"] += t3_ - t2_
+            ph["fetch"] += t4_ - t3_
+        for i in range(n_direct):  # variant: dispatch -> fetch immediately
+            img = np.zeros((b, S_ * S_ * 3), np.uint8)
+            t0_ = time.perf_counter()
+            out = srv._serve(srv._params, srv._put(img))
+            jax.block_until_ready(out)
+            t1_ = time.perf_counter()
+            np.asarray(out)
+            t2_ = time.perf_counter()
+            ph["e2e_sync"] += t2_ - t0_
+            t3_ = time.perf_counter()
+            out = srv._serve(srv._params, srv._put(img))
+            np.asarray(out)  # blocks on the in-flight exec, then fetches
+            t4_ = time.perf_counter()
+            ph["e2e_eager"] += t4_ - t3_
+        rec["direct_ms"] = {k: round(v / n_direct * 1e3, 1)
+                            for k, v in ph.items()}
+        rec["direct_imgs_per_sec"] = round(
+            n_direct * b / (ph["e2e_eager"] or 1e-9), 2
+        )
     srv.close()
     from owlvit_tpu.utils import flops as flops_mod
 

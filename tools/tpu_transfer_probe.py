@@ -19,6 +19,9 @@ Cases (all ~56.6 MB logical unless noted):
   h2d_3d_u8      [32, 768, 2304]   uint8   jnp.asarray   (fold the 3 into W)
   d2h_dict       boxes/scores/classes/valid fetch, 4 np.asarray calls
   d2h_packed     one [32, 1400] f32 fetch  (serve's new packed output)
+plus r4 CONCURRENCY cases (see inline comment): transfers while a jitted
+exec is in flight, with/without a second thread blocked in np.asarray on
+that exec — the old two-thread serve.py's exact interleaving.
 
 Usage: python tools/tpu_transfer_probe.py [reps]   (default 5)
 Appends one JSON line to /tmp/tpu_runs.jsonl.
@@ -117,6 +120,60 @@ try:
         it = iter(fresh)
         rec[f"d2h_{case}_ms"] = timed(
             lambda it=it: jax.tree.map(np.asarray, next(it)))
+
+    # CONCURRENCY cases — the r4 serve mechanism suspects. All isolated
+    # transfers above are fast, yet the two-thread server (completion
+    # thread blocking in np.asarray while the dispatch thread ran H2D)
+    # crawled at ~2 s/batch. These cases reproduce that interleaving
+    # directly:
+    #   h2d_during_exec     transfer while the device executes (no fetch) —
+    #                       async pipelining's best case
+    #   h2d_vs_blocked_fetch transfer while ANOTHER THREAD blocks in
+    #                       np.asarray on an in-flight exec (old serve.py)
+    #   d2h_vs_blocked_fetch same, but the main thread fetches a READY array
+    x_mm = jnp.ones((8192, 8192), jnp.bfloat16)
+
+    @jax.jit
+    def slow(x):
+        return jax.lax.fori_loop(0, 60, lambda i, a: a @ x, x)
+
+    jax.block_until_ready(slow(x_mm))
+    t0 = time.perf_counter()
+    jax.block_until_ready(slow(x_mm))
+    rec["slow_exec_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+
+    import threading as _th
+
+    def with_inflight(fn, block_in_thread):
+        """Time fn() while slow() is in flight; optionally with a second
+        thread blocked in np.asarray on the in-flight result."""
+        def one():
+            out = slow(x_mm)
+            th = None
+            if block_in_thread:
+                th = _th.Thread(target=lambda: np.asarray(out))
+                th.start()
+                time.sleep(0.02)  # let the fetch enter its blocking wait
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            jax.block_until_ready(out)
+            if th is not None:
+                th.join()
+            return dt
+
+        one()  # warm
+        return round(sum(one() for _ in range(reps)) / reps * 1e3, 1)
+
+    rec["h2d_during_exec_ms"] = with_inflight(
+        lambda: jnp.asarray(imgflat).block_until_ready(), False)
+    rec["h2d_vs_blocked_fetch_ms"] = with_inflight(
+        lambda: jnp.asarray(imgflat).block_until_ready(), True)
+    ready = [mk["packed"](k + 100) for k in range(2 * (reps + 1))]
+    jax.block_until_ready(ready)
+    it2 = iter(ready)
+    rec["d2h_vs_blocked_fetch_ms"] = with_inflight(
+        lambda: np.asarray(next(it2)), True)
     rec["ok"] = True
 except Exception as e:  # noqa: BLE001
     rec.update(ok=False, err=repr(e)[:300])
