@@ -2,17 +2,39 @@
 
 The reference leans on torch's multiprocess DataLoader (dataset.py:101-106);
 on TPU the equivalent win is overlapping host decode/resize with device
-compute. A small thread pipelines batches: while the device runs step N, the
-host assembles and transfers step N+1.
+compute. A small thread pipelines the HOST side: while the device runs step
+N, the host assembles step N+1.
+
+Where the device transfer happens depends on the backend. On the TPU relay
+("axon"), a transfer issued while an exec is in flight runs ~100x slower
+(tools/tpu_transfer_probe.py r4 concurrency cases: 56 MB H2D 3683 ms during
+an exec vs 39 ms idle), so the producer thread must NOT device_put — the
+consumer does it at yield time, when the previous step has already been
+synced by the caller (the trainer's per-step loss fetch is that barrier).
+On backends with real async transfer engines, the producer-side put
+(classic prefetch) is kept.
 """
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Iterator
 
 import jax
+
+
+def _serial_relay() -> bool:
+    """True when transfers must be serialized against execs (the axon
+    relay). OWLVIT_SERIAL_RELAY=0|1 overrides."""
+    v = os.environ.get("OWLVIT_SERIAL_RELAY")
+    if v in ("0", "1"):
+        return v == "1"
+    try:
+        return jax.default_backend() == "axon"
+    except Exception:  # noqa: BLE001 — backend init failure: act normal
+        return False
 
 
 def prefetch_to_device(
@@ -32,11 +54,21 @@ def prefetch_to_device(
     _ERR = object()
     if put is None:
         put = jax.device_put
+    consumer_put = _serial_relay()
 
     # paths are host-only; indices stay host numpy too — trainers consume
     # them for cache bookkeeping on the host, and a put+np.asarray roundtrip
     # would add a per-step D2H sync on the slow relay link.
     _HOST_KEYS = ("paths", "indices") + tuple(host_keys)
+
+    def _transfer(batch: dict) -> dict:
+        arrays = {
+            k: put(v) for k, v in batch.items() if k not in _HOST_KEYS
+        }
+        for k in _HOST_KEYS:
+            if k in batch:
+                arrays[k] = batch[k]
+        return arrays
 
     def producer():
         try:
@@ -50,15 +82,7 @@ def prefetch_to_device(
                     # reshape on device (trainer train/eval/prefix steps all
                     # accept either rank). See tools/tpu_transfer_probe.py.
                     batch["image"] = img.reshape(img.shape[0], -1)
-                arrays = {
-                    k: put(v)
-                    for k, v in batch.items()
-                    if k not in _HOST_KEYS
-                }
-                for k in _HOST_KEYS:
-                    if k in batch:
-                        arrays[k] = batch[k]
-                q.put(arrays)
+                q.put(batch if consumer_put else _transfer(batch))
             q.put(_SENTINEL)
         except BaseException as exc:  # propagate, never truncate silently
             q.put((_ERR, exc))
@@ -71,4 +95,4 @@ def prefetch_to_device(
             return
         if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
             raise item[1]
-        yield item
+        yield _transfer(item) if consumer_put else item

@@ -10,16 +10,17 @@ module is the TPU-native serving layer on top of the exported/ckpt detector:
     bucket that fits. Every image is independent in the forward pass (conv,
     per-token LN, within-image attention), so pad rows cost FLOPs but cannot
     perturb real rows — their outputs are simply dropped.
-  * **Single device owner.** JAX is single-controller: exactly one dispatcher
-    thread touches the device — including the blocking device→host fetch.
-    Request threads (or the asyncio HTTP frontend) only enqueue and wait on
-    a Future; the completion thread does pure-host postprocessing.
-  * **Pipelined dispatch, one thread.** JAX dispatch is asynchronous: the
-    dispatcher enqueues batch k+1's H2D + jitted call BEFORE blocking on
-    batch k's fetch, so the device executes k+1 while the host waits on k.
-    (An earlier two-thread design fetched from a separate completion thread;
-    on the TPU relay, concurrent blocking calls from two threads ran each
-    phase 20-30x slower — BENCH.md r4 serve diagnosis.)
+  * **Single device owner, strictly serial relay usage.** JAX is
+    single-controller: exactly one dispatcher thread touches the device, and
+    it never overlaps a transfer with an in-flight execution. Measured on
+    the TPU relay (tools/tpu_transfer_probe.py r4 concurrency cases): an H2D
+    issued while an exec is in flight takes ~3.7 s vs 39 ms idle (~100x),
+    and a D2H next to a blocked fetch ~5 s vs 29 ms — so the classic
+    "overlap host transfers with device compute" pipeline is a pessimization
+    here. Each batch runs put -> exec -> block -> fetch serially; only
+    host-only work overlaps (request assembly on the dispatcher, result
+    postprocessing + future fan-out on the completion thread, which makes
+    no JAX calls at all).
   * **Latency/throughput knob.** `max_delay_ms` bounds how long the first
     request of a batch waits for co-riders (classic dynamic-batching window).
   * **Flat wire format.** Transfers happen in device (tiled) layout, so a
@@ -260,9 +261,9 @@ class DetectorServer:
         self._debug_phases = os.environ.get("OWLVIT_SERVE_PHASES") == "1"
         self._q: queue.Queue = queue.Queue()
         self._max_queue = int(max_queue)
-        # Caps device work in flight (pipelining without pile-up): the
-        # dispatch loop fetches the oldest in-flight batch before
-        # dispatching past this bound.
+        # max_inflight is retained for API compatibility but moot since the
+        # strictly-serial relay protocol (see _dispatch_loop): at most one
+        # batch is ever on the device.
         self._max_inflight = int(max_inflight)
         # fetched numpy results -> completion thread (pure host postproc)
         self._done_q: queue.Queue = queue.Queue()
@@ -428,31 +429,27 @@ class DetectorServer:
         # window expires — one lane's traffic never delays the other's
         # deadline.
         #
-        # SINGLE DEVICE THREAD, pipelined via async dispatch: this loop is
-        # the only thread that ever touches JAX. It dispatches batch k+1
-        # (H2D + enqueue exec, both fast) BEFORE blocking on batch k's
-        # device->host fetch — the device is already executing k+1 while the
-        # host waits on k, so pipelining needs no second JAX thread. The r3g
-        # two-thread design (completion thread fetching concurrently with
-        # this thread's H2D) ran 20-30x slower per phase on the relay:
-        # concurrent blocking calls from two threads poison each other
-        # (BENCH.md r4 serve diagnosis); isolated probes of the identical
-        # transfers are fast. Fetched numpy results are handed to the
-        # completion thread, which does pure-host postprocessing only.
+        # SINGLE DEVICE THREAD, strictly serial relay usage: this loop is
+        # the only thread that ever touches JAX, and each batch completes
+        # put -> exec -> block -> fetch before the next batch's transfer
+        # starts. Overlapping transfers with device execution is a ~100x
+        # PESSIMIZATION on the TPU relay (tpu_transfer_probe r4: H2D during
+        # an in-flight exec 3683 ms vs 39 ms idle; D2H beside a blocked
+        # fetch 5001 ms vs 29 ms) — both the r3g two-thread pipeline and an
+        # async single-thread pipeline hit it (14.8 img/s floods at ~2 s/
+        # batch while every isolated phase probes fast). Fetched numpy
+        # results go to the completion thread, which does pure-host
+        # postprocessing only.
         max_b = self.buckets[-1]
         pend = {False: deque(), True: deque()}  # key: is zero-shot
-        inflight: deque = deque()  # (device_out, batch) awaiting fetch
         stop = False
         _EMPTY = object()
-        while not stop or pend[False] or pend[True] or inflight:
+        while not stop or pend[False] or pend[True]:
             heads = [d[0].t_enqueue for d in pend.values() if d]
             timeout = (
                 None if not heads
                 else max(0.0, min(heads) + self.max_delay_s - time.perf_counter())
             )
-            if inflight:
-                # never sleep while results wait on device — fetch instead
-                timeout = 0.0
             try:
                 nxt = (
                     self._q.get(timeout=timeout)
@@ -481,7 +478,6 @@ class DetectorServer:
                 except queue.Empty:
                     pass
             now = time.perf_counter()
-            dispatched = False
             for is_zs in (False, True):
                 d = pend[is_zs]
                 while d and (
@@ -489,34 +485,28 @@ class DetectorServer:
                     or stop
                     or d[0].t_enqueue + self.max_delay_s <= now
                 ):
-                    if len(inflight) >= self._max_inflight:
-                        self._fetch_one(inflight)  # backpressure: drain first
                     batch = [d.popleft() for _ in range(min(len(d), max_b))]
                     try:
-                        inflight.append((self._dispatch(batch, is_zs), batch))
-                        dispatched = True
+                        out = self._dispatch(batch, is_zs)  # put+exec+block
                     except Exception as e:  # noqa: BLE001 — device/compile
                         # failure must reach the waiting clients, not hang
                         # their futures forever
                         for req in batch:
                             req.future.set_exception(e)
-            if inflight and not dispatched:
-                # no new work formed this cycle: harvest the oldest result
-                # (its exec overlapped this loop's host work)
-                self._fetch_one(inflight)
+                        continue
+                    self._fetch(out, batch)
         self._done_q.put(None)
 
-    def _fetch_one(self, inflight: deque):
-        """Blocking device->host fetch of the oldest in-flight batch; hands
-        the numpy result to the completion thread. Runs on the dispatch
-        thread (the single JAX thread) — the device keeps executing
-        later-dispatched batches while the host blocks here."""
-        out, batch = inflight.popleft()
+    def _fetch(self, out, batch: list):
+        """Device->host fetch of a COMPLETED batch (exec already blocked on
+        in _dispatch, so the link is idle); hands the numpy result to the
+        completion thread. Runs on the dispatch thread — the single JAX
+        thread."""
         tf0 = time.perf_counter()
         try:
-            packed = np.asarray(out)  # blocks on device done, then fetches
-        except Exception as e:  # noqa: BLE001 — async-dispatched device
-            # failure surfaces at fetch; fail the batch's futures
+            packed = np.asarray(out)
+        except Exception as e:  # noqa: BLE001 — a device failure can still
+            # surface at the fetch RPC; fail the batch's futures
             for req in batch:
                 req.future.set_exception(e)
             return
@@ -587,7 +577,13 @@ class DetectorServer:
                 ph["h2d"] += t2 - t1
                 ph["exec"] += t3 - t2
         else:
-            out = call(self._put(images))  # async
+            # block before returning: the caller's next relay op (the fetch,
+            # or the next batch's H2D) must not overlap this execution —
+            # overlapped transfers run ~100x slower on the relay (see
+            # _dispatch_loop). jax.block_until_ready waits WITHOUT a
+            # transfer, and also surfaces device failures here, where the
+            # caller's try/except fails this batch's futures.
+            out = jax.block_until_ready(call(self._put(images)))
         with self._lock:
             self._stats["batches"] += 1
             self._stats["zs_batches"] += int(is_zs)

@@ -787,6 +787,97 @@ try:
             compile_secs=round(time.time() - t, 1),
             ok=True,
         )
+    elif args.get("stream") == "1":
+        # Streamed uncached training through the REAL loader (epoch-1 /
+        # full-fine-tune composition): fresh host batch -> prefetch_to_device
+        # -> jitted step -> float(loss) per step (the trainer's epoch-loop
+        # sync). Three sub-arms in one process: consumer-side put (serial
+        # relay protocol), producer-THREAD put (classic prefetch — the
+        # transfer overlaps the in-flight exec), then serial again (does the
+        # overlapped arm's degradation persist in-process?). The r4
+        # concurrency probe showed overlapped transfers ~100x slower on the
+        # relay; r3g epoch-1 walls (34 s / 8 batches) match.
+        import numpy as np
+        import optax
+
+        from owlvit_tpu.data.loader import prefetch_to_device
+        from owlvit_tpu.models import get_config, owlvit
+        from owlvit_tpu.ops import losses as loss_ops
+        from owlvit_tpu.ops.preprocess import normalize_image
+        from owlvit_tpu.train.state import (
+            TrainState, combine_params, partition_params,
+        )
+
+        n_classes = 80
+        cfg = get_config(model, dtype=dtype, trainable_last_k=k or 1)
+        params = owlvit.init(jax.random.PRNGKey(0), cfg, num_queries=3 * n_classes)
+        trainable, frozen = partition_params(params, k or 1)
+        tx = optax.adamw(3e-6, weight_decay=0.1)
+        state = TrainState(trainable, frozen, tx.init(trainable), jnp.int32(0))
+        S = cfg.vision.image_size
+        G = min(16, cfg.vision.num_patches)  # tiny CPU-smoke config cap
+        rng = np.random.default_rng(0)
+        gt = dict(
+            boxes=np.tile(np.asarray([[0.2, 0.2, 0.6, 0.7]], np.float32),
+                          (batch, G, 1)),
+            labels=rng.integers(0, n_classes, (batch, G)).astype(np.int32),
+            gt_mask=np.tile(np.arange(G) < 8, (batch, 1)),
+        )
+
+        def host_batches(n):
+            for _ in range(n):
+                yield dict(
+                    image=rng.integers(0, 255, (batch, S, S, 3),
+                                       dtype=np.uint8),
+                    **{kk: v.copy() for kk, v in gt.items()},
+                )
+
+        def train_step(state, data):
+            img = data["image"].reshape(batch, S, S, 3)
+
+            def loss_fn(trainable):
+                p = combine_params(trainable, state.frozen)
+                pb, sims = owlvit.forward_train(p, cfg, normalize_image(img))
+                terms = loss_ops.push_pull_loss(
+                    sims, pb, data["labels"], data["boxes"], data["gt_mask"],
+                    n_classes,
+                )
+                return loss_ops.total_loss(terms), terms
+
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.trainable
+            )
+            updates, opt_state = tx.update(
+                grads, state.opt_state, state.trainable
+            )
+            return (
+                TrainState(
+                    optax.apply_updates(state.trainable, updates),
+                    state.frozen, opt_state, state.step + 1,
+                ),
+                loss,
+            )
+
+        jstep = jax.jit(train_step, donate_argnums=(0,))
+        warm = {kk: jnp.asarray(v) for kk, v in next(host_batches(1)).items()}
+        warm["image"] = warm["image"].reshape(batch, -1)
+        state, loss = jstep(state, warm)  # compile
+        jax.block_until_ready(loss)
+        rec["compile_secs"] = round(time.time() - t, 1)
+
+        for arm, flag in (("serial", "1"), ("thread", "0"),
+                          ("serial_after", "1")):
+            os.environ["OWLVIT_SERIAL_RELAY"] = flag
+            t0 = time.perf_counter()
+            n = 0
+            for b in prefetch_to_device(host_batches(steps)):
+                state, loss = jstep(state, b)
+                lv = float(loss)  # the trainer's per-step sync
+                n += 1
+            dt = time.perf_counter() - t0
+            rec[f"{arm}_imgs_per_sec"] = round(n * batch / dt, 2)
+            rec[f"{arm}_s_per_batch"] = round(dt / n, 3)
+        rec.update(loss=lv, ok=True)
     elif args.get("cached") == "1":
         # Frozen-backbone activation-cache steady state: epochs >= 2 run
         # prefix-free (trainer._train_one_batch). Shared implementation

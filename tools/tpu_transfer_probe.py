@@ -174,6 +174,18 @@ try:
     it2 = iter(ready)
     rec["d2h_vs_blocked_fetch_ms"] = with_inflight(
         lambda: np.asarray(next(it2)), True)
+
+    # PERSISTENCE: re-run the plain idle-link cases AFTER the overlapped
+    # ones. The r4 serve process measured 1.6 s for the same put that
+    # probes at 39 ms in a clean process — does overlapped usage degrade
+    # the relay session for the rest of the process, or was that state
+    # from something else?
+    rec["h2d_flat_u8_after_ms"] = timed(
+        lambda: jnp.asarray(imgflat).block_until_ready())
+    fresh2 = [mk["packed"](k + 500) for k in range(reps + 1)]
+    jax.block_until_ready(fresh2)
+    it3 = iter(fresh2)
+    rec["d2h_packed_after_ms"] = timed(lambda: np.asarray(next(it3)))
     rec["ok"] = True
 except Exception as e:  # noqa: BLE001
     rec.update(ok=False, err=repr(e)[:300])
