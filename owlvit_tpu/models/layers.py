@@ -101,6 +101,7 @@ def attention(
     fast_softmax: bool = False,
     quantized: bool = False,
     bwd_hint: Optional[str] = None,
+    static_softmax: bool = False,
 ) -> jnp.ndarray:
     """Multi-head self-attention. x: [B, S, D]; bias: additive [B, 1|H, S, S].
 
@@ -132,7 +133,7 @@ def attention(
             o2 = flash_attention_packed(
                 q2, k2, v2, scale=scale, num_heads=num_heads,
                 valid_len=valid_len, fast_softmax=fast_softmax,
-                bwd_hint=bwd_hint,
+                bwd_hint=bwd_hint, static_softmax=static_softmax,
             )
             return linear(p["out"], o2, quantized)
         if hybrid_supported(num_heads, head_dim, D):
@@ -140,6 +141,7 @@ def attention(
             o2 = flash_attention_hybrid(
                 q2, k2, v2, scale=scale, num_heads=num_heads,
                 valid_len=valid_len, fast_softmax=fast_softmax,
+                static_softmax=static_softmax,
             )
             return linear(p["out"], o2, quantized)
         o = flash_attention(
@@ -214,12 +216,13 @@ def encoder_block(
     fast_softmax: bool = False,
     quantized: bool = False,
     bwd_hint: Optional[str] = None,
+    static_softmax: bool = False,
 ) -> jnp.ndarray:
     h = layer_norm(p["ln1"], x, eps)
     h = attention(
         p["attn"], h, num_heads, bias=bias, causal=causal, impl=impl,
         valid_len=valid_len, fast_softmax=fast_softmax, quantized=quantized,
-        bwd_hint=bwd_hint,
+        bwd_hint=bwd_hint, static_softmax=static_softmax,
     )
     x = x + h
     h = layer_norm(p["ln2"], x, eps)
@@ -250,6 +253,7 @@ def encoder(
     valid_len: Optional[int] = None,
     fast_softmax: bool = False,
     quantized: bool = False,
+    static_softmax: bool = False,
 ) -> jnp.ndarray:
     """Run the stacked encoder with lax.scan (one trace for all layers).
 
@@ -269,6 +273,7 @@ def encoder(
                 layer_p["attn"], y1, num_heads, impl=impl, valid_len=valid_len,
                 fast_softmax=fast_softmax, quantized=quantized,
                 bwd_hint="both",  # scanned context: see the note below
+                static_softmax=static_softmax,
             )
             x2, y2 = add_ln(xi, a, layer_p["ln2"], eps)
             m = mlp(layer_p["mlp"], y2, quantized)
@@ -295,6 +300,7 @@ def encoder(
                 valid_len=valid_len, fast_softmax=fast_softmax,
                 quantized=quantized,
                 bwd_hint="fused" if unrolled else "both",
+                static_softmax=static_softmax,
             ),
             None,
         )

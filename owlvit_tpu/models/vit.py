@@ -112,12 +112,15 @@ def forward_prefix(
     head = jax.tree.map(lambda a: a[:split], params["layers"])
     # Frozen prefix runs under stop_gradient: no backward exists to stay
     # consistent with, so its flash kernels may use the input-dtype softmax
-    # (2x VPU exp rate in bf16). The trainable tail keeps fp32 softmax.
+    # (2x VPU exp rate in bf16) and the fixed-shift (static-max) softmax
+    # (default-on for bf16; +10.9% serving / +8.4% uncached on chip —
+    # BENCH.md r4). The trainable tail keeps fp32 softmax with a per-row
+    # max: static-max inside grad compositions faulted the relay (r4c).
     return jax.lax.stop_gradient(
         encoder(
             head, x, cfg.num_heads, eps=cfg.layer_norm_eps,
             impl=attention_impl, valid_len=valid_len,
-            fast_softmax=fast, quantized=quant,
+            fast_softmax=fast, quantized=quant, static_softmax=True,
         )
     )
 

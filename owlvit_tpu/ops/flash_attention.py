@@ -319,14 +319,22 @@ def _group_heads(num_heads: int, head_dim: int) -> int:
 
 # Default fixed softmax shift for non-fp32 kernels. Any C is mathematically
 # exact (softmax shift invariance; the stashed lse = C + log(sum) is
-# C-invariant, so the backward recomputation stays consistent). C=20 keeps
-# fp32 exp(s - C) finite for logits up to ~+108 and fully precise down to
-# row maxima of ~-68 — ViT attention logits are O(±30) (r2 trace). Measured
-# on chip (r4 A/B at C=0, identical op structure): serving 154.4 -> 171.2
-# img/s (+10.9%), uncached train step 124.8 -> 135.3 img/s (+8.4%); grads
-# agree with the dynamic-max and pure-XLA paths at bf16 eps
-# (tools/tpu_kernel_parity.py, BENCH.md r4).
-_STATIC_MAX_DEFAULT = 20.0
+# C-invariant, so the backward recomputation stays consistent); fp-wise it
+# is safe while max-row logits stay within ~C±88 (fp32 exp range; ViT
+# attention logits are O(±30), r2 trace). Measured on chip at C=0:
+# serving 154.4 -> 171.2 img/s (+10.9%), uncached train step 124.8 -> 135.3
+# img/s (+8.4%); grads agree with the dynamic-max and pure-XLA paths at
+# bf16 eps (tools/tpu_kernel_parity.py, BENCH.md r4).
+#
+# GATED to stop-gradient / pure-inference calls (static_softmax=True is
+# passed only by vit.forward_prefix): static-max inside GRAD compositions
+# faulted the relay at runtime 4/5 across r4b/r4c (cached tail at C=20 x2
+# and C=0 x1, streamed uncached at C=20) while every fwd-only composition
+# passed 10/10 (serving floods + direct loops + warmups, hflip/bench
+# prefixes) — the r1/r3 Mosaic lesson again: composition faults that never
+# show standalone (kernel-parity grads at static were clean and bf16-eps
+# correct). C stays 0.0 — the exact constant every measured A/B ran.
+_STATIC_MAX_DEFAULT = 0.0
 
 
 def _static_max_env(dtype=None):
@@ -339,7 +347,8 @@ def _static_max_env(dtype=None):
     OWLVIT_STATIC_MAX=<float> forces that C; =off (or =dynamic) restores the
     per-row max; unset -> C=_STATIC_MAX_DEFAULT for non-fp32 kernels (the
     fp32 path keeps the max-shifted form: it exists for strict-parity runs).
-    Parity is checked on chip by tools/tpu_kernel_parity.py."""
+    Parity is checked on chip by tools/tpu_kernel_parity.py. See the
+    _STATIC_MAX_DEFAULT comment before changing C from 0.0."""
     v = _os.environ.get("OWLVIT_STATIC_MAX", "")
     if v.lower() in ("off", "dynamic"):
         return None
@@ -507,7 +516,8 @@ def _batch_sharded(fn, sharding_rule: str, need_replication=()):
     return cp
 
 
-def _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False):
+def _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False,
+            static_softmax=False):
     S_pad = q2.shape[1]
 
     def core(q2, k2, v2):
@@ -521,7 +531,8 @@ def _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False):
                              memory_space=pltpu.VMEM)
         kern = functools.partial(
             _pk_fwd_kernel, scale=scale, hg=hg, hd=hd,
-            fast_softmax=fast_softmax, static_max=_static_max_env(q2.dtype),
+            fast_softmax=fast_softmax,
+            static_max=_static_max_env(q2.dtype) if static_softmax else None,
         )
         return pl.pallas_call(
             kern,
@@ -781,7 +792,13 @@ def _check_differentiable(fast_softmax: bool) -> None:
         )
 
 
-def _pk_bwd(scale, s_real, H, hd, fast_softmax, bwd_hint, res, g):
+def _pk_bwd(scale, s_real, H, hd, fast_softmax, bwd_hint, static_softmax,
+            res, g):
+    # static_softmax only shapes the FORWARD kernel (the bwd recompute is
+    # lse-based and shift-invariant); it rides the nondiff args for the vjp
+    # signature only. Differentiated calls should pass it False anyway:
+    # static-max inside grad compositions faulted the device 4/5 on the
+    # relay while every fwd-only composition passed (BENCH.md r4c).
     _check_differentiable(fast_softmax)
     mode = _pk_bwd_mode(bwd_hint)
 
@@ -919,16 +936,18 @@ def _pk_bwd(scale, s_real, H, hd, fast_softmax, bwd_hint, res, g):
     )(q2, k2, v2, o2, lse, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _flash_packed(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False,
-                  bwd_hint=None):
-    o, _ = _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax)
+                  bwd_hint=None, static_softmax=False):
+    o, _ = _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax,
+                   static_softmax)
     return o
 
 
 def _flash_packed_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False,
-                      bwd_hint=None):
-    o, lse = _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax)
+                      bwd_hint=None, static_softmax=False):
+    o, lse = _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax,
+                     static_softmax)
     return o, (q2, k2, v2, o, lse)
 
 
@@ -951,12 +970,16 @@ def packed_supported(num_heads: int, head_dim: int, D: int) -> bool:
 
 
 def flash_attention_packed(q2, k2, v2, *, scale, num_heads, valid_len=None,
-                           fast_softmax=False, bwd_hint=None):
+                           fast_softmax=False, bwd_hint=None,
+                           static_softmax=False):
     """q2/k2/v2: [B, S, D] (D = H*hd), no layout change. S should already be
     a BLOCK_Q multiple (vit.forward pads once); pads here otherwise.
 
     bwd_hint: caller's packed-backward preference ('fused'/'both'); the
-    OWLVIT_PACKED_BWD env var overrides it (see _pk_bwd_mode)."""
+    OWLVIT_PACKED_BWD env var overrides it (see _pk_bwd_mode).
+    static_softmax: allow the fixed-shift softmax (no per-row max pass;
+    _static_max_env). Pass True ONLY on stop-gradient / pure-inference
+    calls — grad compositions with it faulted the relay (BENCH.md r4c)."""
     B, S, D = q2.shape
     hd = D // num_heads
     s_real = int(valid_len) if valid_len is not None else S
@@ -966,7 +989,7 @@ def flash_attention_packed(q2, k2, v2, *, scale, num_heads, valid_len=None,
     v2 = _pad_to(v2, S_pad, axis=1)
     o = _flash_packed(
         q2, k2, v2, float(scale), s_real, int(num_heads), hd,
-        bool(fast_softmax), bwd_hint,
+        bool(fast_softmax), bwd_hint, bool(static_softmax),
     )
     return o[:, :S]
 
@@ -981,18 +1004,22 @@ def flash_attention_packed(q2, k2, v2, *, scale, num_heads, valid_len=None,
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_hybrid(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False):
-    o, _ = _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash_hybrid(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False,
+                  static_softmax=False):
+    o, _ = _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax,
+                   static_softmax)
     return o
 
 
-def _flash_hybrid_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False):
-    o, lse = _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax)
+def _flash_hybrid_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False,
+                      static_softmax=False):
+    o, lse = _pk_fwd(q2, k2, v2, scale, s_real, H, hd, fast_softmax,
+                     static_softmax)
     return o, (q2, k2, v2, o, lse)
 
 
-def _hybrid_bwd(scale, s_real, H, hd, fast_softmax, res, g):
+def _hybrid_bwd(scale, s_real, H, hd, fast_softmax, static_softmax, res, g):
     _check_differentiable(fast_softmax)
     return _transposed_bwd_from_packed(scale, s_real, H, hd, res, g)
 
@@ -1006,7 +1033,7 @@ def hybrid_supported(num_heads: int, head_dim: int, D: int) -> bool:
 
 
 def flash_attention_hybrid(q2, k2, v2, *, scale, num_heads, valid_len=None,
-                           fast_softmax=False):
+                           fast_softmax=False, static_softmax=False):
     """[B, S, D] in/out; packed fwd, transposed bwd."""
     B, S, D = q2.shape
     hd = D // num_heads
@@ -1016,6 +1043,7 @@ def flash_attention_hybrid(q2, k2, v2, *, scale, num_heads, valid_len=None,
     k2 = _pad_to(k2, S_pad, axis=1)
     v2 = _pad_to(v2, S_pad, axis=1)
     o = _flash_hybrid(
-        q2, k2, v2, float(scale), s_real, int(num_heads), hd, bool(fast_softmax)
+        q2, k2, v2, float(scale), s_real, int(num_heads), hd,
+        bool(fast_softmax), bool(static_softmax),
     )
     return o[:, :S]

@@ -354,7 +354,8 @@ def test_static_max_softmax_matches_standard(rng, monkeypatch):
     base_o, base_lse = fa._pk_fwd(q2, k2, v2, scale, S, H, hd)
     for c in ("0", "5.0"):
         monkeypatch.setenv("OWLVIT_STATIC_MAX", c)
-        o, lse = fa._pk_fwd(q2, k2, v2, scale, S, H, hd)
+        o, lse = fa._pk_fwd(q2, k2, v2, scale, S, H, hd,
+                            static_softmax=True)
         np.testing.assert_allclose(
             np.asarray(o), np.asarray(base_o), rtol=2e-5, atol=2e-6
         )
@@ -369,7 +370,8 @@ def test_static_max_softmax_matches_standard(rng, monkeypatch):
 
     def f(q, k, v):
         return jnp.sum(
-            fa.flash_attention_packed(q, k, v, scale=scale, num_heads=H) * co
+            fa.flash_attention_packed(q, k, v, scale=scale, num_heads=H,
+                                      static_softmax=True) * co
         )
 
     g = jax.grad(f, argnums=(0, 1, 2))(q2, k2, v2)
@@ -411,9 +413,11 @@ def test_static_max_default_resolution(monkeypatch):
         jnp.asarray(rng.normal(size=(B, S, D)), jnp.bfloat16) for _ in range(3)
     )
     scale = hd**-0.5
-    o_def, lse_def = fa._pk_fwd(q2, k2, v2, scale, S, H, hd)
+    o_def, lse_def = fa._pk_fwd(q2, k2, v2, scale, S, H, hd,
+                                static_softmax=True)
     monkeypatch.setenv("OWLVIT_STATIC_MAX", "off")
-    o_dyn, lse_dyn = fa._pk_fwd(q2, k2, v2, scale, S, H, hd)
+    o_dyn, lse_dyn = fa._pk_fwd(q2, k2, v2, scale, S, H, hd,
+                                static_softmax=True)
     np.testing.assert_allclose(
         np.asarray(o_def, np.float32), np.asarray(o_dyn, np.float32),
         rtol=2e-2, atol=2e-2,
@@ -421,3 +425,46 @@ def test_static_max_default_resolution(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(lse_def), np.asarray(lse_dyn), rtol=1e-5, atol=1e-5
     )
+
+
+def test_static_softmax_routing(rng, monkeypatch):
+    """The fixed-shift softmax must reach ONLY stop-gradient calls: the
+    frozen prefix passes static_softmax=True, the trainable tail False
+    (static-max inside grad compositions faulted the relay — BENCH.md r4c),
+    and serving's all-frozen config (trainable_last_k=0) is static
+    throughout."""
+    import owlvit_tpu.ops.flash_attention as fa
+    from owlvit_tpu.models import get_config, owlvit
+
+    calls = []
+    real = fa._pk_fwd
+
+    def spy(q2, k2, v2, scale, s_real, H, hd, fast_softmax=False,
+            static_softmax=False):
+        calls.append(bool(static_softmax))
+        return real(q2, k2, v2, scale, s_real, H, hd, fast_softmax,
+                    static_softmax)
+
+    monkeypatch.setattr(fa, "_pk_fwd", spy)
+    cfg = get_config("tiny", attention_impl="flash", trainable_last_k=1)
+    params = owlvit.init(jax.random.PRNGKey(0), cfg, num_queries=6)
+    img = jnp.asarray(rng.normal(size=(1, 96, 96, 3)), jnp.float32)
+    owlvit.forward_train(params, cfg, img)
+    n_layers = cfg.vision.num_layers
+    assert calls == [True] * (n_layers - 1) + [False], calls
+
+    calls.clear()
+    cfg0 = cfg.replace(trainable_last_k=0)  # serving: all frozen
+    owlvit.forward_train(params, cfg0, img)
+    assert calls == [True] * n_layers, calls
+
+    # all-frozen output must equal the k=None (fully differentiable) branch
+    calls.clear()
+    b0, s0 = owlvit.forward_train(params, cfg0, img)
+    bn, sn = owlvit.forward_train(params, cfg.replace(trainable_last_k=None),
+                                  img)
+    assert calls == [True] * n_layers + [False] * n_layers, calls
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(sn),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(b0), np.asarray(bn),
+                               rtol=2e-5, atol=2e-6)

@@ -117,15 +117,23 @@ def loss_of(attn_fn):
     return loss
 
 
+# static=1: run the pallas variants with the fixed-shift softmax (the
+# OWLVIT_STATIC_MAX constant, default 0.0) — kernels are gated to
+# stop-gradient calls in the model, so the flag must be explicit here.
+_static = args.get("static") == "1"
+
+
 def packed(q2, k2, v2):
     return fa.flash_attention_packed(
-        q2, k2, v2, scale=scale, num_heads=H, valid_len=None
+        q2, k2, v2, scale=scale, num_heads=H, valid_len=None,
+        static_softmax=_static,
     )
 
 
 def hybrid(q2, k2, v2):
     return fa.flash_attention_hybrid(
-        q2, k2, v2, scale=scale, num_heads=H, valid_len=None
+        q2, k2, v2, scale=scale, num_heads=H, valid_len=None,
+        static_softmax=_static,
     )
 
 

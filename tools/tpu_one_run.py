@@ -177,12 +177,14 @@ try:
         from owlvit_tpu.ops import nms as nms_ops
         from owlvit_tpu.ops.preprocess import normalize_image
 
-        # ik=0 makes the WHOLE encoder a frozen prefix -> composes with
-        # quant=1 (int8 projections/MLP) for fully-quantized serving.
-        ik = args.get("ik")
+        # ik=0 (the default, mirroring serve.py) makes the WHOLE encoder a
+        # frozen prefix: licenses the fwd-only kernel modes (static-max
+        # softmax) and composes with quant=1 (int8 projections/MLP) for
+        # fully-quantized serving. ik=none restores the k=None branch.
+        ik = args.get("ik", "0")
         cfg = get_config(
             model, dtype=dtype,
-            trainable_last_k=int(ik) if ik is not None else None,
+            trainable_last_k=None if ik in ("none", "null") else int(ik),
             quant_backbone=args.get("quant") == "1",
         )
         n_classes = 80

@@ -155,7 +155,7 @@ try:
         batches=st["batches"],
         padded_rows=st["padded_rows"],
         bucket_counts={str(k): v for k, v in st["bucket_counts"].items()},
-        mean_dets=round(n_det / total, 1),
+        mean_dets=round(n_det / total, 1) if total else None,
         phase_secs={k: round(v, 2) for k, v in st["phase_secs"].items()}
         if "phase_secs" in st else None,
         ok=True,
