@@ -137,8 +137,15 @@ def main():
         pass
 
     model = os.environ.get("BENCH_MODEL", "b16")
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    # L/14 protocol: b8 (b32 exceeds HBM at 3600 patches; BENCH.md r3), and
+    # the fp32 b1 baseline arm is skipped unless explicitly requested — the
+    # monolithic L/14 fp32 grad graph costs ~10 min of remote compile for a
+    # number the headline ratio never uses (vs_baseline is defined on b16).
+    is_l14 = model.lower().replace("/", "").replace("-", "") == "l14"
+    batch = int(os.environ.get("BENCH_BATCH", "8" if is_l14 else "32"))
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    if is_l14 and "BENCH_SKIP_BASELINE" not in os.environ:
+        os.environ["BENCH_SKIP_BASELINE"] = "1"
 
     # Claim-settling probe BEFORE any big graph: on the axon relay a fresh
     # process's first device interaction can hit a still-wedged claim; a
@@ -157,8 +164,8 @@ def main():
 
         def _outage():
             print(json.dumps({
-                "metric": "owlvit-b16 bf16 train images/sec/chip "
-                          "(batch 32, cached steady state)",
+                "metric": f"owlvit-{model} bf16 train images/sec/chip "
+                          f"(batch {batch}, cached steady state)",
                 "value": None, "unit": "images/sec/chip",
                 "vs_baseline": None,
                 "error": f"TPU claim not granted within {claim_timeout:.0f}s "

@@ -74,7 +74,10 @@ def _cmd_infer(args):
 
     cfg = load_config(args.config)
     trainer = Trainer(cfg, workdir=args.workdir)
-    mcfg = trainer.model_cfg.replace(trainable_last_k=None)
+    # pure-inference process: all-frozen (k=0 ≡ k=None numerics, parity
+    # pinned by test_static_softmax_routing) + static-max softmax — the
+    # fwd-only kernel mode that faults grad-bearing processes (BENCH.md r4d)
+    mcfg = trainer.model_cfg.replace(trainable_last_k=0, static_softmax=True)
     size = mcfg.vision.image_size
     img = Image.open(args.image).convert("RGB")
     w, h = img.size

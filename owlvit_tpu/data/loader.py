@@ -26,13 +26,22 @@ import jax
 
 
 def _serial_relay() -> bool:
-    """True when transfers must be serialized against execs (the axon
-    relay). OWLVIT_SERIAL_RELAY=0|1 overrides."""
+    """True when transfers must be serialized against execs (the TPU relay).
+    OWLVIT_SERIAL_RELAY=0|1 overrides.
+
+    The relay registers its platform as "axon" but `jax.default_backend()`
+    reports "tpu" (every on-chip probe records backend "tpu" — ADVICE r4:
+    keying on "axon" meant the consumer-side put never activated in real
+    training). Default consumer-side put ON for any tpu backend: on this
+    relay an overlapped transfer is a ~100x pessimization (BENCH.md r4b),
+    and on real TPUs with async transfer engines the consumer-side put costs
+    one prefetch depth, not correctness — OWLVIT_SERIAL_RELAY=0 restores the
+    producer-side put there."""
     v = os.environ.get("OWLVIT_SERIAL_RELAY")
     if v in ("0", "1"):
         return v == "1"
     try:
-        return jax.default_backend() == "axon"
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:  # noqa: BLE001 — backend init failure: act normal
         return False
 
@@ -65,6 +74,13 @@ def prefetch_to_device(
         arrays = {
             k: put(v) for k, v in batch.items() if k not in _HOST_KEYS
         }
+        if consumer_put:
+            # Settle the puts BEFORE the caller dispatches its exec: an RPC
+            # issued while a put is in flight is the suspected trigger that
+            # flips the process into permanent degraded-PUT mode (~9.4 MB/s
+            # vs 1.4 GB/s — BENCH.md r4d put-state probe). Blocking here
+            # costs nothing (the consumer needs the data now anyway).
+            jax.block_until_ready(arrays)
         for k in _HOST_KEYS:
             if k in batch:
                 arrays[k] = batch[k]

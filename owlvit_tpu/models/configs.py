@@ -64,6 +64,13 @@ class OwlViTConfig:
     # gradients (reference trains only layers.11, models.py:173-184).
     # None = no stop_gradient split (inference / full fine-tune).
     trainable_last_k: "int | None" = None
+    # Fixed-shift (static-max) softmax in the flash kernels. ONLY safe in
+    # processes that never build a gradient graph: static-max kernels in a
+    # grad-bearing process fault the TPU relay 5/6 even when the static
+    # kernel lives in a separate fwd-only executable (BENCH.md r4c/r4d).
+    # serve.py and `cli infer` set this (fwd-only processes, 13+/13+ proven,
+    # +10.9% serving throughput); trainers must leave it False.
+    static_softmax: bool = False
     # Replicate the reference's query-normalization quirk
     # (/root/reference/src/models.py:31-33: `q / ||q|| + 1e-6` — the epsilon is
     # added to the *normalized* vector). Set True to use the correct

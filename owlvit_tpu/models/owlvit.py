@@ -95,6 +95,7 @@ def image_embedder(params: dict, cfg: OwlViTConfig, pixel_values: jnp.ndarray):
         remat=cfg.remat,
         trainable_last_k=cfg.trainable_last_k,
         quant_backbone=cfg.quant_backbone,
+        static_softmax=cfg.static_softmax,
     )
     x = layer_norm(params["vision"]["post_ln"], last_hidden, cfg.vision.layer_norm_eps)
     cls, patches = x[:, :1, :], x[:, 1:, :]
@@ -236,6 +237,7 @@ def embed_prefix(
         dtype=dtype, attention_impl=_attn_impl(cfg),
         trainable_last_k=cfg.trainable_last_k,
         quant_backbone=cfg.quant_backbone,
+        static_softmax=cfg.static_softmax,
     )
 
 

@@ -92,6 +92,7 @@ def forward_prefix(
     attention_impl: str = "xla",
     trainable_last_k: int,
     quant_backbone: bool = False,
+    static_softmax: bool = False,
 ) -> jnp.ndarray:
     """Embeddings + the FROZEN layers[0 : L-k] under stop_gradient.
 
@@ -112,15 +113,17 @@ def forward_prefix(
     head = jax.tree.map(lambda a: a[:split], params["layers"])
     # Frozen prefix runs under stop_gradient: no backward exists to stay
     # consistent with, so its flash kernels may use the input-dtype softmax
-    # (2x VPU exp rate in bf16) and the fixed-shift (static-max) softmax
-    # (default-on for bf16; +10.9% serving / +8.4% uncached on chip —
-    # BENCH.md r4). The trainable tail keeps fp32 softmax with a per-row
-    # max: static-max inside grad compositions faulted the relay (r4c).
+    # (2x VPU exp rate in bf16). The fixed-shift (static-max) softmax
+    # (+10.9% serving / +8.4% uncached fwd on chip, BENCH.md r4) is threaded
+    # from OwlViTConfig.static_softmax and must stay OFF in any process that
+    # builds grad graphs: static-max kernels fault the relay 5/6 there even
+    # from a separate fwd-only executable (r4c/r4d fault matrix) — only
+    # pure-inference processes (serve.py, cli infer) turn it on.
     return jax.lax.stop_gradient(
         encoder(
             head, x, cfg.num_heads, eps=cfg.layer_norm_eps,
             impl=attention_impl, valid_len=valid_len,
-            fast_softmax=fast, quantized=quant, static_softmax=True,
+            fast_softmax=fast, quantized=quant, static_softmax=static_softmax,
         )
     )
 
@@ -159,6 +162,7 @@ def forward(
     remat: bool = False,
     trainable_last_k: int | None = None,
     quant_backbone: bool = False,
+    static_softmax: bool = False,
 ) -> jnp.ndarray:
     """[B, H, W, 3] -> last_hidden_state [B, 1+P, D] (pre post-LN, like HF's
     encoder output; callers apply post_ln where the pipeline requires it —
@@ -184,6 +188,7 @@ def forward(
         params, cfg, pixel_values,
         dtype=dtype, attention_impl=attention_impl,
         trainable_last_k=k, quant_backbone=quant_backbone,
+        static_softmax=static_softmax,
     )
     return forward_tail(
         params, cfg, acts,

@@ -321,20 +321,26 @@ def _group_heads(num_heads: int, head_dim: int) -> int:
 # exact (softmax shift invariance; the stashed lse = C + log(sum) is
 # C-invariant, so the backward recomputation stays consistent); fp-wise it
 # is safe while max-row logits stay within ~C±88 (fp32 exp range; ViT
-# attention logits are O(±30), r2 trace). Measured on chip at C=0:
-# serving 154.4 -> 171.2 img/s (+10.9%), uncached train step 124.8 -> 135.3
-# img/s (+8.4%); grads agree with the dynamic-max and pure-XLA paths at
-# bf16 eps (tools/tpu_kernel_parity.py, BENCH.md r4).
+# attention logits are O(±30), r2 trace). Measured on chip: serving fwd
+# 154.4 -> 171.2 img/s at C=0 and 170.8 at C=20 (+10.9%, within noise of
+# each other); grads agree with the dynamic-max and pure-XLA paths at
+# bf16 eps (tools/tpu_kernel_parity.py, BENCH.md r4). C=20 is the default:
+# it restores overflow headroom to logits ~+108 for arbitrary post-finetune
+# serving inputs (ADVICE r4: at C=0, any logit >+88 overflows exp to inf ->
+# inf/inf NaN, where the per-row-max path is robust). OWLVIT_STATIC_MAX=off
+# is the escape hatch if a deployment ever sees hotter logits.
 #
-# GATED to stop-gradient / pure-inference calls (static_softmax=True is
-# passed only by vit.forward_prefix): static-max inside GRAD compositions
-# faulted the relay at runtime 4/5 across r4b/r4c (cached tail at C=20 x2
-# and C=0 x1, streamed uncached at C=20) while every fwd-only composition
-# passed 10/10 (serving floods + direct loops + warmups, hflip/bench
-# prefixes) — the r1/r3 Mosaic lesson again: composition faults that never
+# GATED to pure-inference PROCESSES (static_softmax is threaded from
+# OwlViTConfig.static_softmax, set only by serve.py / cli infer / serving
+# tools): static-max kernels in any process that also runs grad executables
+# faulted the relay 5/6 across r4b-r4d — including from a SEPARATE fwd-only
+# executable under stop_gradient (r4d: the gated cache-build prefix + a
+# dynamic tail grad faulted 2/2, and bench r4d died the same way), while
+# every all-fwd process passed 13+/13+ (serving floods + direct loops +
+# warmups). The r1/r3 Mosaic lesson again: composition faults that never
 # show standalone (kernel-parity grads at static were clean and bf16-eps
-# correct). C stays 0.0 — the exact constant every measured A/B ran.
-_STATIC_MAX_DEFAULT = 0.0
+# correct).
+_STATIC_MAX_DEFAULT = 20.0
 
 
 def _static_max_env(dtype=None):

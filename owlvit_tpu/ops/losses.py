@@ -40,16 +40,6 @@ from . import matcher
 _LOG_CLAMP = -100.0  # torch BCELoss clamps log terms at -100
 
 
-def _bce_shared() -> bool:
-    """OWLVIT_BCE_SHARED=1: compute the class loss from ONE shared
-    [B, P, C] bce+focal chain plus per-patch label-column gathers (see
-    push_pull_loss). Termwise-identical math; last-ulp summation
-    reassociation — A/B-gated until measured on chip."""
-    import os
-
-    return os.environ.get("OWLVIT_BCE_SHARED", "0") == "1"
-
-
 def _bce(x: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     x = jnp.clip(x, 0.0, 1.0)
     log_x = jnp.maximum(jnp.log(x), _LOG_CLAMP)
@@ -140,46 +130,21 @@ def push_pull_loss(
     x = jnp.abs(pred_sims)  # [B, P, C]
     fg = target_classes != n_classes  # [B, P]
 
-    if _bce_shared():
-        # One [B, P, C] chain instead of two: with a one-hot target, the fg
-        # BCE equals the all-zeros-target BCE in every column EXCEPT the
-        # patch's label column, so
-        #   per_patch_fg = sum_c focal(bce_bg[c])
-        #                - focal(bce_bg[label]) + focal(bce_pos[label]).
-        # This removes the second bce+focal tensor chain (fwd AND bwd) and
-        # the one-hot materialization; the label column is patched up with
-        # [B, P] gathers. Math identical termwise; the summation reassoc
-        # (total - one + other) can differ in final fp32 ulps, hence the
-        # A/B gate (OWLVIT_BCE_SHARED=1).
-        bce_bg = _bce(x, jnp.zeros_like(x))
-        if class_weights is not None:
-            bce_bg = bce_bg * class_weights.astype(jnp.float32)
-        per_patch_bg = jnp.sum(_focal_mod(bce_bg), axis=-1)  # [B, P]
+    # (A shared-chain variant that derived the fg BCE from the bg chain plus
+    # label-column gathers was A/B'd on chip in r3 and measured ~1% SLOWER —
+    # the chain it removed was already fused into the reduce, and the gather
+    # backward added a [B, P, C] scatter. BENCH.md r3; fork deleted in r5.)
+    onehot = jax.nn.one_hot(target_classes, n_classes, dtype=jnp.float32)  # bg -> 0s
 
-        tc_safe = jnp.minimum(target_classes, n_classes - 1)  # bg -> junk col
-        x_l = jnp.clip(
-            jnp.take_along_axis(x, tc_safe[..., None], axis=-1)[..., 0],
-            0.0, 1.0,
-        )  # [B, P]
-        pos_l = -jnp.maximum(jnp.log(x_l), _LOG_CLAMP)      # target-1 BCE
-        neg_l = -jnp.maximum(jnp.log1p(-x_l), _LOG_CLAMP)   # target-0 BCE
-        if class_weights is not None:
-            w_l = class_weights.astype(jnp.float32)[tc_safe]
-            pos_l = pos_l * w_l
-            neg_l = neg_l * w_l
-        per_patch_fg = per_patch_bg - _focal_mod(neg_l) + _focal_mod(pos_l)
-    else:
-        onehot = jax.nn.one_hot(target_classes, n_classes, dtype=jnp.float32)  # bg -> 0s
+    bce_fg = _bce(x, onehot)
+    bce_bg = _bce(x, jnp.zeros_like(x))
+    if class_weights is not None:
+        w = class_weights.astype(jnp.float32)
+        bce_fg = bce_fg * w
+        bce_bg = bce_bg * w
 
-        bce_fg = _bce(x, onehot)
-        bce_bg = _bce(x, jnp.zeros_like(x))
-        if class_weights is not None:
-            w = class_weights.astype(jnp.float32)
-            bce_fg = bce_fg * w
-            bce_bg = bce_bg * w
-
-        per_patch_fg = jnp.sum(_focal_mod(bce_fg), axis=-1)  # [B, P]
-        per_patch_bg = jnp.sum(_focal_mod(bce_bg), axis=-1)
+    per_patch_fg = jnp.sum(_focal_mod(bce_fg), axis=-1)  # [B, P]
+    per_patch_bg = jnp.sum(_focal_mod(bce_bg), axis=-1)
 
     n_fg = jnp.maximum(jnp.sum(fg), 1).astype(jnp.float32)
     n_bg = jnp.maximum(jnp.sum(~fg), 1).astype(jnp.float32)

@@ -240,8 +240,12 @@ def match(
     # the r2 solve-constant-rows behavior for A/B)
     mask = None if os.environ.get("OWLVIT_MATCH_SKIP") == "0" else gt_mask
     # OWLVIT_MATCH_PRUNE=1: exact top-G column pruning (hungarian_pruned) —
-    # shrinks every Dijkstra scan from P to <= G*G columns. Opt-in pending
-    # the on-chip A/B (BENCH.md).
+    # shrinks every Dijkstra scan from P to <= G*G columns. Measured on chip
+    # (BENCH.md r3g): ~6% SLOWER at the recipe shape G=16 (loss bit-identical)
+    # — the valid rows' Dijkstras were already near-1-iteration against the
+    # mostly-free columns. Default stays OFF; the exact-pruned solver is kept
+    # for padded-heavy recipes (e.g. max_gt 64 with ~7 valid), where the
+    # un-pruned scan width would dominate.
     solver = (
         hungarian_pruned
         if os.environ.get("OWLVIT_MATCH_PRUNE") == "1"

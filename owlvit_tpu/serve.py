@@ -139,9 +139,12 @@ class DetectorServer:
             raise ValueError(f"buckets must be ascending unique >=1: {buckets}")
         # serving = pure fwd. k=0 (not None): the all-frozen path runs the
         # whole encoder under stop_gradient, which licenses the fwd-only
-        # kernel modes (static-max softmax: +10.9% serving throughput on
-        # chip, BENCH.md r4) — numerics identical to the k=None branch.
-        self.cfg = cfg.replace(trainable_last_k=0)
+        # kernel modes — numerics identical to the k=None branch. A serving
+        # process never builds a grad graph, so it is the proven-safe surface
+        # for the static-max softmax (+10.9% serving throughput on chip,
+        # BENCH.md r4; faults grad-bearing processes — r4c/r4d).
+        # OWLVIT_STATIC_MAX=off still disables the shift inside the kernel.
+        self.cfg = cfg.replace(trainable_last_k=0, static_softmax=True)
         self.buckets = tuple(int(b) for b in buckets)
         self.max_delay_s = max_delay_ms / 1e3
         self.image_size = cfg.vision.image_size
@@ -164,12 +167,14 @@ class DetectorServer:
                 mesh, PartitionSpec("data", *([None] * (nd_ - 1)))
             )
             repl = NamedSharding(mesh, PartitionSpec())
-            self._params = jax.device_put(params, repl)
+            # settle the param-tree put before any later relay RPC (the
+            # degraded-put-mode discipline — see _warmup)
+            self._params = jax.block_until_ready(jax.device_put(params, repl))
             self._put = lambda a: jax.device_put(  # noqa: E731
                 a, self._shard_batch(a.ndim)
             )
         else:
-            self._params = jax.device_put(params)
+            self._params = jax.block_until_ready(jax.device_put(params))
             self._put = jnp.asarray
 
         def _serve(p, images_flat_u8):
@@ -265,12 +270,16 @@ class DetectorServer:
         self._debug_phases = os.environ.get("OWLVIT_SERVE_PHASES") == "1"
         self._q: queue.Queue = queue.Queue()
         self._max_queue = int(max_queue)
-        # max_inflight is retained for API compatibility but moot since the
-        # strictly-serial relay protocol (see _dispatch_loop): at most one
-        # batch is ever on the device.
-        self._max_inflight = int(max_inflight)
+        # max_inflight bounds the fetched-but-unresolved batches handed to
+        # the completion thread (ADVICE r4: unbounded, a slow completion
+        # thread — client callbacks run in its future.set_result — would
+        # accumulate fetched numpy batches without limit; a small maxsize
+        # backpressures the dispatch thread instead, which is harmless
+        # host-side). The strictly-serial relay protocol still keeps at most
+        # ONE batch on the device.
+        self._max_inflight = max(1, int(max_inflight))
         # fetched numpy results -> completion thread (pure host postproc)
-        self._done_q: queue.Queue = queue.Queue()
+        self._done_q: queue.Queue = queue.Queue(maxsize=self._max_inflight)
         self._lock = threading.Lock()
         self._stats = {
             "requests": 0, "batches": 0, "zs_batches": 0, "padded_rows": 0,
@@ -291,17 +300,24 @@ class DetectorServer:
     # ------------------------------------------------------------- lifecycle
 
     def _warmup(self):
+        # Every put is settled (block_until_ready) BEFORE the next relay RPC
+        # is issued — dispatching an exec on a still-in-flight put is the
+        # suspected trigger that flips the process into permanent
+        # degraded-PUT mode (~9.4 MB/s vs 1.4 GB/s; BENCH.md r4d put-state
+        # probe — a freshly-WARMED server already showed ~40x degraded puts
+        # in r4c, implicating exactly this path).
         S = self.image_size
         for b in self.buckets:
-            z = self._put(np.zeros((b, S * S * 3), np.uint8))
+            z = jax.block_until_ready(self._put(np.zeros((b, S * S * 3), np.uint8)))
             jax.block_until_ready(self._serve(self._params, z))
             if self._serve_zs is not None:
-                qe = self._put(
-                    np.zeros((b, self._max_queries, self._proj), np.float32))
-                qm = self._put(np.zeros((b, self._max_queries), np.int32))
+                qe = jax.block_until_ready(self._put(
+                    np.zeros((b, self._max_queries, self._proj), np.float32)))
+                qm = jax.block_until_ready(
+                    self._put(np.zeros((b, self._max_queries), np.int32)))
                 jax.block_until_ready(self._serve_zs(self._params, z, qe, qm))
         if self._one_shot:
-            zq = jnp.zeros((1, S * S * 3), jnp.uint8)
+            zq = jax.block_until_ready(jnp.zeros((1, S * S * 3), jnp.uint8))
             jax.block_until_ready(self._embed_qimage(self._params, zq))
 
     def start(self):
@@ -528,9 +544,12 @@ class DetectorServer:
             e = self._text_cache.get(q)
             if e is None:
                 enc = self._tok([q])
-                e = np.asarray(self._encode_text(
-                    self._params, jnp.asarray(enc["input_ids"]),
-                    jnp.asarray(enc["attention_mask"]),
+                # settle puts before the encode exec; block the exec before
+                # the fetch (the degraded-put discipline, see _dispatch)
+                ids = jax.block_until_ready(jnp.asarray(enc["input_ids"]))
+                am = jax.block_until_ready(jnp.asarray(enc["attention_mask"]))
+                e = np.asarray(jax.block_until_ready(
+                    self._encode_text(self._params, ids, am)
                 ))[0]
                 self._text_cache[q] = e
             out.append(e)
@@ -556,19 +575,31 @@ class DetectorServer:
                 else:  # one-shot: exemplar embedding, cached by digest
                     e = self._qimg_cache.get(req.qdigest)
                     if e is None:
-                        e = np.asarray(self._embed_qimage(
-                            self._params,
-                            jnp.asarray(req.qimage.reshape(1, -1)),
+                        qdev = jax.block_until_ready(
+                            jnp.asarray(req.qimage.reshape(1, -1)))
+                        e = np.asarray(jax.block_until_ready(
+                            self._embed_qimage(self._params, qdev)
                         ))
                         self._qimg_cache[req.qdigest] = e
                     e = e[None]  # [1, proj]
                 qemb[i, : len(e)] = e
                 qmask[i, : len(e)] = 1
             call = lambda dev: self._serve_zs(  # noqa: E731
-                self._params, dev, self._put(qemb), self._put(qmask)
+                self._params, dev,
+                jax.block_until_ready(self._put(qemb)),
+                jax.block_until_ready(self._put(qmask)),
             )
         else:
             call = lambda dev: self._serve(self._params, dev)  # noqa: E731
+        # Every put is SETTLED (block_until_ready) before the exec is
+        # dispatched: issuing the exec RPC while the put is still in flight
+        # is the suspected trigger that flips the process into permanent
+        # degraded-PUT mode (~9.4 MB/s; BENCH.md r4d) — and the exec itself
+        # must complete before the fetch or the next batch's H2D
+        # (overlapped transfers run ~100x slower: see _dispatch_loop).
+        # block_until_ready waits WITHOUT a transfer, and surfaces device
+        # failures here, where the caller's try/except fails this batch's
+        # futures.
         if self._debug_phases:
             t1 = time.perf_counter()
             dev = jax.block_until_ready(self._put(images))
@@ -581,13 +612,8 @@ class DetectorServer:
                 ph["h2d"] += t2 - t1
                 ph["exec"] += t3 - t2
         else:
-            # block before returning: the caller's next relay op (the fetch,
-            # or the next batch's H2D) must not overlap this execution —
-            # overlapped transfers run ~100x slower on the relay (see
-            # _dispatch_loop). jax.block_until_ready waits WITHOUT a
-            # transfer, and also surfaces device failures here, where the
-            # caller's try/except fails this batch's futures.
-            out = jax.block_until_ready(call(self._put(images)))
+            dev = jax.block_until_ready(self._put(images))
+            out = jax.block_until_ready(call(dev))
         with self._lock:
             self._stats["batches"] += 1
             self._stats["zs_batches"] += int(is_zs)

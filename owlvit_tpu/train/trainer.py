@@ -90,7 +90,9 @@ class Trainer:
             attention_impl=cfg.model.attention_impl,
             remat=cfg.model.remat,
             trainable_last_k=cfg.model.trainable_last_k,
-            quant_backbone=cfg.model.quant_backbone,
+            # int8 backbone is a tools-only experiment since r5 (drift gate
+            # failure, BENCH.md r3); OWLVIT_QUANT_BACKBONE=1 still reaches
+            # the kernels for A/B probes
         )
         size = self.model_cfg.vision.image_size
 
@@ -581,13 +583,18 @@ class Trainer:
                     # env knobs change the prefix numerics too (vit.py reads
                     # them at trace time) — a stale cache must not survive an
                     # A/B flip of either
-                    "quant_backbone": m.quant_backbone
+                    "quant_backbone": mcfg.quant_backbone
                     or os.environ.get("OWLVIT_QUANT_BACKBONE") == "1",
                     "fast_softmax": os.environ.get("OWLVIT_FAST_SOFTMAX", "0"),
-                    # resolved value, not the raw env: the default flips on
-                    # for bf16 kernels (flash_attention._static_max_env), so
-                    # a default change must also invalidate stale caches
-                    "static_max": _resolved_static_max(m.dtype),
+                    # resolved value, not the raw env — and "" whenever the
+                    # model config keeps static_softmax off (trainers always
+                    # do since r5: static-max kernels fault grad-bearing
+                    # processes, BENCH.md r4d). Caches built under the r4
+                    # static default are invalidated by the flip to "".
+                    "static_max": (
+                        _resolved_static_max(m.dtype)
+                        if mcfg.static_softmax else ""
+                    ),
                     "attention_impl": owlvit._attn_impl(mcfg),
                     "seed": t.seed,
                     "dataset": img_ids,

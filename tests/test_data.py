@@ -202,6 +202,47 @@ def test_prefetch_propagates_producer_errors():
         next(it)
 
 
+def test_serial_relay_detection(monkeypatch):
+    """ADVICE r4 (high): the relay reports backend "tpu", not "axon" — the
+    consumer-side put must activate under the REAL backend name (it never
+    did in r4 training), stay off on cpu, and honor the env override."""
+    import owlvit_tpu.data.loader as loader_mod
+
+    monkeypatch.delenv("OWLVIT_SERIAL_RELAY", raising=False)
+    for backend, expect in [("tpu", True), ("axon", True), ("cpu", False)]:
+        monkeypatch.setattr(loader_mod.jax, "default_backend", lambda b=backend: b)
+        assert loader_mod._serial_relay() is expect, backend
+    monkeypatch.setenv("OWLVIT_SERIAL_RELAY", "0")
+    monkeypatch.setattr(loader_mod.jax, "default_backend", lambda: "tpu")
+    assert loader_mod._serial_relay() is False
+    monkeypatch.setenv("OWLVIT_SERIAL_RELAY", "1")
+    monkeypatch.setattr(loader_mod.jax, "default_backend", lambda: "cpu")
+    assert loader_mod._serial_relay() is True
+
+
+def test_prefetch_consumer_put_blocks_before_yield(monkeypatch):
+    """Serial-relay mode must settle every put before the consumer can
+    dispatch an exec on it (the degraded-put-mode trigger, BENCH.md r4d)."""
+    import jax
+
+    from owlvit_tpu.data import loader as loader_mod
+
+    monkeypatch.setenv("OWLVIT_SERIAL_RELAY", "1")
+    blocked = []
+    real_block = jax.block_until_ready
+    monkeypatch.setattr(
+        loader_mod.jax, "block_until_ready",
+        lambda t: blocked.append(True) or real_block(t),
+    )
+
+    def it():
+        yield {"x": np.zeros((2, 2), np.float32), "paths": ["a"]}
+
+    out = list(loader_mod.prefetch_to_device(it()))
+    assert len(out) == 1 and blocked, "consumer-side put must block"
+    assert isinstance(out[0]["paths"], list)  # host keys stay host-side
+
+
 def test_load_batch_without_images_matches_gt(synth):
     """with_images=False (activation-cached epochs): same GT/size fields,
     no pixel decode."""

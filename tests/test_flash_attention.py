@@ -428,11 +428,11 @@ def test_static_max_default_resolution(monkeypatch):
 
 
 def test_static_softmax_routing(rng, monkeypatch):
-    """The fixed-shift softmax must reach ONLY stop-gradient calls: the
-    frozen prefix passes static_softmax=True, the trainable tail False
-    (static-max inside grad compositions faulted the relay — BENCH.md r4c),
-    and serving's all-frozen config (trainable_last_k=0) is static
-    throughout."""
+    """The fixed-shift softmax must reach ONLY pure-inference-process
+    configs: trainers run FULLY dynamic (static-max kernels fault any
+    grad-bearing process, even from a separate fwd-only executable —
+    BENCH.md r4c/r4d), while serving's config (trainable_last_k=0,
+    static_softmax=True, as serve.py sets) is static throughout."""
     import owlvit_tpu.ops.flash_attention as fa
     from owlvit_tpu.models import get_config, owlvit
 
@@ -446,19 +446,30 @@ def test_static_softmax_routing(rng, monkeypatch):
                     static_softmax)
 
     monkeypatch.setattr(fa, "_pk_fwd", spy)
+    # trainer config: static_softmax defaults False -> every layer dynamic,
+    # frozen prefix included
     cfg = get_config("tiny", attention_impl="flash", trainable_last_k=1)
     params = owlvit.init(jax.random.PRNGKey(0), cfg, num_queries=6)
     img = jnp.asarray(rng.normal(size=(1, 96, 96, 3)), jnp.float32)
     owlvit.forward_train(params, cfg, img)
     n_layers = cfg.vision.num_layers
-    assert calls == [True] * (n_layers - 1) + [False], calls
+    assert calls == [False] * n_layers, calls
 
     calls.clear()
-    cfg0 = cfg.replace(trainable_last_k=0)  # serving: all frozen
+    # serving config (what DetectorServer/cli-infer construct): all frozen
+    # AND static
+    cfg0 = cfg.replace(trainable_last_k=0, static_softmax=True)
     owlvit.forward_train(params, cfg0, img)
     assert calls == [True] * n_layers, calls
 
-    # all-frozen output must equal the k=None (fully differentiable) branch
+    calls.clear()
+    # the prefix honors static_softmax=True only via the config; a cache
+    # build in a trainer process stays dynamic
+    owlvit.embed_prefix(params, cfg, img)
+    assert calls == [False] * (n_layers - 1), calls
+
+    # all-frozen static output must equal the k=None (fully differentiable,
+    # dynamic) branch
     calls.clear()
     b0, s0 = owlvit.forward_train(params, cfg0, img)
     bn, sn = owlvit.forward_train(params, cfg.replace(trainable_last_k=None),

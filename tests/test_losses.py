@@ -131,37 +131,6 @@ def test_loss_no_weights(rng):
         np.testing.assert_allclose(float(ours[k]), ref[k], rtol=1e-4, atol=1e-5)
 
 
-def test_loss_bce_shared_matches(rng, monkeypatch):
-    """OWLVIT_BCE_SHARED=1 (single shared bce+focal chain, r3) must agree
-    with the direct two-chain form to fp32 reassociation tolerance, with
-    and without class weights, including padded GT."""
-    for with_w in (False, True):
-        sims, boxes, labels, gt_boxes = _make_case(rng)
-        C = 5
-        G = len(labels)
-        gt_mask = np.ones((1, G), bool)
-        gt_mask[0, -1] = False  # one padded slot
-        weights = (
-            jnp.asarray((1.0 + rng.uniform(0, 3, size=(C,))).astype(np.float32))
-            if with_w else None
-        )
-        args = (
-            jnp.asarray(sims)[None], jnp.asarray(boxes)[None],
-            jnp.asarray(labels)[None], jnp.asarray(gt_boxes)[None],
-            jnp.asarray(gt_mask),
-        )
-        monkeypatch.delenv("OWLVIT_BCE_SHARED", raising=False)
-        base = losses.push_pull_loss(*args, n_classes=C, class_weights=weights)
-        monkeypatch.setenv("OWLVIT_BCE_SHARED", "1")
-        shared = losses.push_pull_loss(*args, n_classes=C, class_weights=weights)
-        monkeypatch.delenv("OWLVIT_BCE_SHARED", raising=False)
-        for k in base:
-            np.testing.assert_allclose(
-                float(shared[k]), float(base[k]), rtol=1e-5, atol=1e-6,
-                err_msg=f"{k} with_w={with_w}",
-            )
-
-
 def test_loss_padding_invariance(rng):
     """Padded GT slots must not change any loss term."""
     sims, boxes, labels, gt_boxes = _make_case(rng)

@@ -29,7 +29,6 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ["OWLVIT_PACKED_FLASH"] = args.get("packed", "1")  # match production default
 os.environ["OWLVIT_PACKED_BWD"] = args.get("bwd", "both")
 os.environ["OWLVIT_FUSED_LN"] = args.get("fused", "0")
-os.environ["OWLVIT_BCE_SHARED"] = args.get("bce", "0")
 if "matchmask" in args:  # r3 diagnostic: force-disable the padded-row skip
     os.environ["OWLVIT_MATCH_SKIP"] = args["matchmask"]
 # prune=1: exact top-G column pruning in the Hungarian solve (matcher.py
@@ -179,13 +178,17 @@ try:
 
         # ik=0 (the default, mirroring serve.py) makes the WHOLE encoder a
         # frozen prefix: licenses the fwd-only kernel modes (static-max
-        # softmax) and composes with quant=1 (int8 projections/MLP) for
-        # fully-quantized serving. ik=none restores the k=None branch.
+        # softmax — this is a pure-inference process, the proven-safe
+        # surface) and composes with quant=1 (int8 projections/MLP) for
+        # fully-quantized serving. ik=none restores the k=None branch;
+        # static=0 keeps the dynamic per-row max for A/Bs.
         ik = args.get("ik", "0")
         cfg = get_config(
             model, dtype=dtype,
             trainable_last_k=None if ik in ("none", "null") else int(ik),
             quant_backbone=args.get("quant") == "1",
+            static_softmax=args.get("static", "1") == "1"
+            and ik not in ("none", "null"),
         )
         n_classes = 80
         params = owlvit.init(jax.random.PRNGKey(0), cfg, num_queries=3 * n_classes)

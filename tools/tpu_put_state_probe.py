@@ -1,29 +1,40 @@
-"""Why are H2D puts ~50x slower inside the serving process than in a bare
-probe process? (r4c: the strictly-serial serve pipeline still paid 2.17 s
-per 56 MB put with an IDLE device, while tpu_transfer_probe measures the
-identical put at 39 ms.)
+"""Put-state probe v2: WHAT flips a process into degraded-PUT mode?
 
-Candidate mechanisms, isolated here in ONE process by interleaving timed
-put batteries with state changes:
+The r4d v1 run answered two questions and destroyed the rest of its own
+bisect: its first battery included an eager `np.asarray(jnp.asarray(img))`
+round trip, which (a) ran at 15.5 s and (b) flipped the process — every
+later case measured the degraded mode (3.2-8.2 s per 56 MB put), not its
+nominal trigger. Hard facts from v1 (BENCH.md r4d): the flip trigger can be
+as small as ONE eager fetch chained on an in-flight put; degraded mode is a
+bandwidth collapse to ~9.4 MB/s (1.7 MB put 181 ms and 56 MB ~6 s), and
+del+gc does not recover it.
 
-  put_fresh            bare process, nothing live
-  put_tree_small       after device_put of a 256-leaf tree (param-COUNT
-                       effect: does every put revalidate live handles?)
-  put_one_big          tree deleted, one 170 MB buffer live (BYTES effect)
-  put_after_del        everything deleted + gc (backlog drain?)
-  put_after_execs      after 20 jitted execs over the tree (exec-history /
-                       bookkeeping-backlog effect)
-  put_small_tree_live  1.7 MB put with the tree live (fixed per-RPC cost
-                       vs bandwidth degradation)
-  put_after_serve_init DetectorServer(warmup=True) constructed last — the
-                       exact live state of the slow process (params tree +
-                       compiled executables + idle worker threads)
+v2 orders cases so each battery only ever follows PASSIVE state changes,
+with the two suspected active triggers LAST:
+
+  put_fresh            bare process (blocked-put battery ONLY — v1's rt/exec
+                       styles are what contaminated everything)
+  serial_loop          10x the serve v4 protocol: put -> block -> exec ->
+                       block -> fetch(ready). Per-leg times. THE question:
+                       does the strict protocol hold the fast mode?
+  put_tree_live        after a settled 256-leaf param-tree put
+  put_after_execs      after 20 small jitted execs (each blocked)
+  put_after_big_execs  after 4 big matmul execs (each blocked)
+  put_after_serve_init after DetectorServer(warmup=True) — now runs the
+                       settle-every-put protocol itself
+  put_after_request    after one served request
+  put_after_unblocked_exec  TRIGGER A: exec dispatched on an in-flight put
+                       (what serve/warmup did before r5)
+  put_after_rt         TRIGGER B (v1's known flip): eager np.asarray of a
+                       just-dispatched put
+  small_tail           1.7 MB put at the end: if the process is degraded by
+                       now, bandwidth-proportionality check (~180 ms when
+                       degraded, ~2 ms fast)
 
 Usage: python tools/tpu_put_state_probe.py [reps]   (default 3)
 Appends one JSON line to /tmp/tpu_runs.jsonl.
 """
 
-import gc
 import json
 import os
 import sys
@@ -43,7 +54,7 @@ if "cpu" in sys.argv[1:]:
 
 (jnp.ones((256, 256)) @ jnp.ones((256, 256))).block_until_ready()
 
-rec = {"name": "put_state_probe", "backend": jax.default_backend(),
+rec = {"name": "put_state_probe_v2", "backend": jax.default_backend(),
        "reps": reps}
 rng = np.random.default_rng(0)
 B, S = 32, 768
@@ -52,16 +63,8 @@ small = rng.integers(0, 255, (1, S * S * 3), dtype=np.uint8)
 
 
 def battery(key, payload=img):
-    """reps timed puts; records mean AND each rep (slowness may decay).
-    Three wait styles per battery — r4c showed block_until_ready(put) at
-    1.5-2.1 s in the serve process while an UNBLOCKED put consumed by an
-    exec fit inside a 0.8-0.9 s e2e, so the wait primitive itself is a
-    suspect, separate from the transfer:
-      <key>_ms         block_until_ready(put)    (the phases-mode pattern)
-      <key>_rt_ms      np.asarray(put)           (round trip, no block —
-                       an upper bound on the transfer itself)
-      <key>_exec_ms    put -> tiny jitted consume -> block on the OUTPUT
-                       (serve v3's non-phases pattern)"""
+    """reps BLOCKED puts only (jax.block_until_ready(jnp.asarray(x))) — the
+    one measurement style that is itself trigger-free."""
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -69,18 +72,6 @@ def battery(key, payload=img):
         times.append(round((time.perf_counter() - t0) * 1e3, 1))
     rec[key + "_ms"] = round(sum(times) / reps, 1)
     rec[key + "_each"] = times
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(jnp.asarray(payload))
-        times.append(round((time.perf_counter() - t0) * 1e3, 1))
-    rec[key + "_rt_ms"] = round(sum(times) / reps, 1)
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(_consume(jnp.asarray(payload)))
-        times.append(round((time.perf_counter() - t0) * 1e3, 1))
-    rec[key + "_exec_ms"] = round(sum(times) / reps, 1)
 
 
 @jax.jit
@@ -89,35 +80,34 @@ def _consume(x):
 
 
 try:
-    # compile _consume for both payload shapes BEFORE any battery (remote
-    # compiles must not pollute the timings)
+    # compile for both payload shapes BEFORE any battery
     jax.block_until_ready(_consume(jnp.asarray(img)))
     jax.block_until_ready(_consume(jnp.asarray(small)))
     battery("put_fresh")
 
-    # 256 small leaves ~ a params tree's handle count (B/16 has ~200 leaves)
+    # --- the serve v4 serial protocol, 10 iterations, per-leg timing ------
+    legs = {"put": [], "exec": [], "fetch": []}
+    for _ in range(10):
+        t0 = time.perf_counter()
+        dev = jax.block_until_ready(jnp.asarray(img))
+        t1 = time.perf_counter()
+        out = jax.block_until_ready(_consume(dev))
+        t2 = time.perf_counter()
+        np.asarray(out)  # fetch of a READY array
+        t3 = time.perf_counter()
+        legs["put"].append(round((t1 - t0) * 1e3, 1))
+        legs["exec"].append(round((t2 - t1) * 1e3, 1))
+        legs["fetch"].append(round((t3 - t2) * 1e3, 1))
+    rec["serial_loop"] = legs
+    battery("put_after_serial_loop")
+
+    # --- passive states ----------------------------------------------------
     tree = {
         f"w{i}": jnp.asarray(rng.normal(size=(128, 128)), jnp.bfloat16)
         for i in range(256)
     }
     jax.block_until_ready(tree)
-    battery("put_tree_small")
-
-    del tree
-    gc.collect()
-    big = jnp.asarray(rng.normal(size=(85, 1024, 1024)), jnp.bfloat16)
-    jax.block_until_ready(big)  # ~170 MB, ONE buffer
-    battery("put_one_big")
-
-    del big
-    gc.collect()
-    time.sleep(1)
-    battery("put_after_del")
-
-    tree = {
-        f"w{i}": jnp.asarray(rng.normal(size=(128, 128)), jnp.bfloat16)
-        for i in range(256)
-    }
+    battery("put_tree_live")
 
     @jax.jit
     def touch(t):
@@ -125,42 +115,22 @@ try:
 
     jax.block_until_ready(touch(tree))
     for _ in range(20):
-        out = touch(tree)
-    jax.block_until_ready(out)
+        jax.block_until_ready(touch(tree))
     battery("put_after_execs")
-    battery("put_small_tree_live", small)
-    del tree, out
-    gc.collect()
 
-    # ---- candidate mode-flip triggers, in contamination-aware order (a
-    # trigger may degrade puts for the REST of the process — r4c probe:
-    # plain put 36 ms at start, 2126 ms re-measured after the overlap
-    # cases, idle device, same process). Each battery localizes the
-    # earliest trigger; everything after a flip is contaminated.
-    x_mm = jnp.ones((8192, 8192), jnp.bfloat16)
+    x_mm = jax.block_until_ready(jnp.ones((8192, 8192), jnp.bfloat16))
 
     @jax.jit
     def slow(x):
         return jax.lax.fori_loop(0, 10, lambda i, a: a @ x, x)
 
-    jax.block_until_ready(slow(x_mm))  # compile + one big exec (~70 ms)
+    jax.block_until_ready(slow(x_mm))  # compile + one exec
     for _ in range(3):
-        out = slow(x_mm)
-        jax.block_until_ready(out)  # big execs, no overlap, no fetch
+        jax.block_until_ready(slow(x_mm))
+    del x_mm
     battery("put_after_big_execs")
 
-    out = slow(x_mm)
-    np.asarray(out)  # EAGER FETCH on an in-flight exec (the r3g serve op)
-    battery("put_after_eager_fetch")
-
-    out = slow(x_mm)
-    jax.block_until_ready(jnp.asarray(img))  # H2D DURING the exec
-    jax.block_until_ready(out)
-    battery("put_after_overlap_put")
-    del out, x_mm
-    gc.collect()
-
-    # the exact slow-process state: a warmed DetectorServer
+    # --- the exact serve state (with the r5 settle-every-put protocol) ----
     from owlvit_tpu.models import get_config, owlvit
     from owlvit_tpu.serve import DetectorServer
 
@@ -170,8 +140,31 @@ try:
     battery("put_after_serve_init")
     one = srv.submit(np.asarray(img[0].reshape(S, S, 3)))
     one.result(timeout=600)
-    battery("put_after_one_request")
+    battery("put_after_request")
     srv.close()
+
+    # --- active triggers, LAST (each may poison the rest of the process) --
+    # TRIGGER C: eager fetch of an IN-FLIGHT exec's (small) output — the
+    # trainer's per-step loss-terms fetch pattern. If this flips the mode,
+    # every epoch-1 streamed step degrades its own next put and the trainer
+    # must block before fetching terms.
+    dev = jax.block_until_ready(jnp.asarray(img))
+    np.asarray(_consume(dev))  # no block: fetch chained on the in-flight exec
+    battery("put_after_eager_exec_fetch")
+
+    # TRIGGER A: exec dispatched while its input put is in flight (what the
+    # pre-r5 serve/_warmup/trainer step did on every batch)
+    out = _consume(jnp.asarray(img))
+    jax.block_until_ready(out)
+    battery("put_after_unblocked_exec")
+
+    # TRIGGER B: v1's known flip — eager fetch chained on an in-flight put
+    t0 = time.perf_counter()
+    np.asarray(jnp.asarray(img))
+    rec["rt_trigger_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+    battery("put_after_rt")
+
+    battery("small_tail", small)
     rec["ok"] = True
 except Exception as e:  # noqa: BLE001
     rec.update(ok=False, err=repr(e)[:400])
