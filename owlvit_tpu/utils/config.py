@@ -131,6 +131,19 @@ class TrainingConfig:
     # batch doesn't compile/fit (here: b48/b64 fault the remote compiler;
     # 2x32 gives effective 64). LR-schedule steps count optimizer updates.
     grad_accum: int = 1
+    # Pre-stage the train/test pixels into a device-resident uint8 pool at
+    # run start (a few big idle-time transfers), then assemble every batch
+    # ON DEVICE with a gather — no per-step host->device image transfer at
+    # all. On the TPU relay a transfer issued beside an in-flight exec runs
+    # ~100x slower and one mis-ordered put can flip the process into a
+    # permanent ~9.4 MB/s degraded-put mode (BENCH.md r4b/r4d), so removing
+    # the per-step stream entirely is the robust fix for epoch-1/uncached
+    # throughput. "auto" stages on tpu backends when pixels (+ the device
+    # activation pool, if cache_backbone) fit ~14 GB of HBM; "on" forces it
+    # (any backend); "off" streams per step (the pre-r5 behavior). Batch
+    # order, augmentation and loss trajectories are identical either way
+    # (tests/test_pixel_stage.py pins staged == streamed).
+    stage_pixels: str = "auto"
 
 
 @dataclasses.dataclass
@@ -178,6 +191,10 @@ def _build(cls, section: dict, name: str):
             v = float(v)
         elif t is int and isinstance(v, str):
             v = int(v)
+        elif t is str and isinstance(v, bool):
+            # tri-state string knobs (e.g. stage_pixels) written as YAML
+            # booleans: map true/false onto their on/off states
+            v = "on" if v else "off"
         coerced[k] = v
     return cls(**coerced)
 

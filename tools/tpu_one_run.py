@@ -882,6 +882,46 @@ try:
             dt = time.perf_counter() - t0
             rec[f"{arm}_imgs_per_sec"] = round(n * batch / dt, 2)
             rec[f"{arm}_s_per_batch"] = round(dt / n, 3)
+
+        # staged: the r5 pixel pre-stage (training.stage_pixels) — pool the
+        # whole set's pixels device-resident in settled <=64 MB puts once,
+        # then each step is a tiny idx put + on-device gather + the same
+        # jitted step. ZERO per-step image H2D; this is what the trainer
+        # runs on tpu backends by default now.
+        rowb = S * S * 3
+        n_rows = max(batch, steps * batch // 2)  # pool > 1 batch, bounded
+        pool = jnp.zeros((n_rows, rowb), jnp.uint8)
+        upd = jax.jit(
+            lambda p, c, lo: jax.lax.dynamic_update_slice(p, c, (lo, 0)),
+            donate_argnums=(0,),
+        )
+        chunk = max(1, min(n_rows, int(64e6 // rowb)))
+        t0 = time.perf_counter()
+        lo = 0
+        while lo < n_rows:
+            start = min(lo, n_rows - chunk)
+            host = rng.integers(0, 255, (chunk, rowb), dtype=np.uint8)
+            dev = jax.block_until_ready(jnp.asarray(host))
+            pool = jax.block_until_ready(upd(pool, dev, np.int32(start)))
+            lo = start + chunk
+        rec["staged_fill_s"] = round(time.perf_counter() - t0, 2)
+        rec["staged_pool_mb"] = round(pool.nbytes / 1e6)
+        gt_dev = {kk: jnp.asarray(v) for kk, v in gt.items()}
+        gather = jax.jit(lambda p, i: p[i])
+        state, loss = jstep(  # compile the flat-image variant
+            state, dict(image=gather(pool, jnp.arange(batch)), **gt_dev)
+        )
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for s_i in range(steps):
+            idx = jax.block_until_ready(jnp.asarray(
+                rng.integers(0, n_rows, (batch,), dtype=np.int64)
+            ))
+            state, loss = jstep(state, dict(image=gather(pool, idx), **gt_dev))
+            lv = float(loss)
+        dt = time.perf_counter() - t0
+        rec["staged_imgs_per_sec"] = round(steps * batch / dt, 2)
+        rec["staged_s_per_batch"] = round(dt / steps, 3)
         rec.update(loss=lv, ok=True)
     elif args.get("cached") == "1":
         # Frozen-backbone activation-cache steady state: epochs >= 2 run
