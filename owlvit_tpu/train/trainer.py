@@ -54,6 +54,10 @@ def _resolved_static_max(dtype_name: str) -> str:
 
 TrainConfig = Config  # alias: the full config drives the trainer
 
+# the four reference loss terms (losses.py push_pull_loss), in the packed
+# order grad_update returns them
+_TERM_KEYS = ("loss_ce", "loss_bg", "loss_bbox", "loss_giou")
+
 
 class Trainer:
     def __init__(self, config: Config, workdir: str = "."):
@@ -118,10 +122,15 @@ class Trainer:
             will_restore = cfg.training.checkpoint_dir and (
                 ckpt.latest_step(cfg.training.checkpoint_dir) is not None
             )
+            # Keep the bank ON DEVICE (no np.asarray): a d2h fetch here would
+            # be the process's FIRST fetch, and on the relay the first fetch
+            # is implicated in flipping the process into permanent
+            # degraded-put mode (BENCH.md r5 probe v2) — the pixel pre-stage
+            # fill that follows must run in the fresh fast-put mode.
             if will_restore:
                 # checkpoint overwrites the bank below — skip the text-encoder
                 # compile (the expensive part of cold inference setup)
-                params["queries"] = np.asarray(
+                params["queries"] = (
                     jax.random.normal(
                         jax.random.PRNGKey(cfg.training.seed),
                         (3 * self.n_classes, self.model_cfg.projection_dim),
@@ -129,7 +138,7 @@ class Trainer:
                     * 0.02
                 )
             else:
-                params["queries"] = np.asarray(self._build_query_bank(params))
+                params["queries"] = self._build_query_bank(params)
 
         # --- optimizer over the trainable partition only --------------------
         trainable, frozen = partition_params(params, cfg.model.trainable_last_k)
@@ -241,7 +250,13 @@ class Trainer:
 
         def grad_update(state: TrainState, loss_fn):
             """The ONE optimizer-update block (shared by the fused train
-            step and the cached tail step, so they can never diverge)."""
+            step and the cached tail step, so they can never diverge).
+
+            Loss terms return PACKED into one [4] f32 vector: on the relay
+            every device->host read is a separate RPC (~26 ms), so the run
+            loop's per-term float() reads cost ~100 ms/step — one packed
+            fetch (np.asarray in _train_one_batch) collapses them to one
+            RPC (the same wire trick as eval_step/serve)."""
             (_, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.trainable
             )
@@ -249,7 +264,7 @@ class Trainer:
             trainable = optax.apply_updates(state.trainable, updates)
             return (
                 TrainState(trainable, state.frozen, opt_state, state.step + 1),
-                terms,
+                jnp.stack([terms[k].astype(jnp.float32) for k in _TERM_KEYS]),
             )
 
         self._grad_update = grad_update
@@ -350,6 +365,7 @@ class Trainer:
 
         self.train_step = jax.jit(train_step, donate_argnums=(0,))
         self.eval_step = jax.jit(eval_step)
+        self._train_step_raw = train_step  # composed by the staged epoch step
 
         # --- frozen-backbone activation cache --------------------------------
         self.act_cache = None
@@ -485,6 +501,9 @@ class Trainer:
         self.tail_step = jax.jit(tail_loss_update, donate_argnums=(0,))
         self.tail_step_gather = jax.jit(tail_step_gather, donate_argnums=(0,))
         self.scatter_acts = jax.jit(scatter_acts, donate_argnums=(0,))
+        # raw (unjitted) pieces, composed by the staged device-epoch step
+        self._pool_gather_raw = pool_gather
+        self._tail_loss_update_raw = tail_loss_update
         # Split gather: run the pool gather as its OWN one-op program and
         # feed the tail step directly. The gather itself is ~0.1 ms (r3
         # gatherprobe); the fused tail_step_gather pays ~6 ms/step at b32
@@ -731,6 +750,55 @@ class Trainer:
         self._gather_eval = jax.jit(lambda pool, idxs: pool[idxs])
         self._stage_on = True
 
+        # --- RPC-minimal device-epoch steps -------------------------------
+        # Every relay RPC costs ~25-150 ms and a mis-ordered one can flip
+        # the process into degraded-put mode, so the steady-state epoch is
+        # driven with the step counter ON DEVICE: the epoch's whole index
+        # order (and hflip bits) pre-stage as ONE settled put, each step
+        # slices its row with state.step % steps_per_epoch, and the loss
+        # terms accumulate into a device [4] vector fetched ONCE per epoch.
+        # Per step the host issues exactly one exec dispatch.
+        hflip = self._hflip
+
+        def _row(mat, step, spe):
+            i = (step % spe).astype(jnp.int32)
+            return jax.lax.dynamic_index_in_dim(mat, i, 0, keepdims=False)
+
+        def epoch_step_uncached(state, pools, rows, flips, acc):
+            idx = _row(rows, state.step, rows.shape[0])
+            batch = gather_batch(pools, idx, True)
+            if flips is not None:
+                batch["flip"] = _row(flips, state.step, flips.shape[0])
+            state, packed = self._train_step_raw(state, batch)
+            return state, acc + packed
+
+        self._epoch_step_uncached = jax.jit(
+            epoch_step_uncached, donate_argnums=(0, 4)
+        )
+        self._epoch_step_cached = None
+        if t.cache_backbone:
+            pool_gather = self._pool_gather_raw
+            tail_update = self._tail_loss_update_raw
+
+            def epoch_step_cached(state, pools, acts_pool, rows, flips, acc):
+                idx = _row(rows, state.step, rows.shape[0])
+                gt = gather_batch(pools, idx, False)
+                flip = None
+                prow = idx
+                if hflip:
+                    flip = _row(flips, state.step, flips.shape[0])
+                    prow = 2 * idx + flip.astype(idx.dtype)
+                acts = pool_gather(acts_pool, prow)
+                state, packed = tail_update(
+                    state, acts, gt["labels"], gt["boxes"], gt["gt_mask"],
+                    flip,
+                )
+                return state, acc + packed
+
+            self._epoch_step_cached = jax.jit(
+                epoch_step_cached, donate_argnums=(0, 5)
+            )
+
     def _zeros_pool(self, shape, dtype):
         """Device zeros, row-sharded over "data" on a mesh (the relay-safe
         fill pattern: zeros + scatter of computed rows — see _init_pool)."""
@@ -798,6 +866,9 @@ class Trainer:
             "image H2D from here",
             flush=True,
         )
+        # the (small) eval pool fills in the same pre-first-fetch window:
+        # puts issued later in the process risk the degraded-put mode
+        self._ensure_staged_eval()
 
     def _ensure_staged_eval(self):
         if self._pix_test is not None or not self._stage_on:
@@ -807,27 +878,34 @@ class Trainer:
         n_pad = ((n + dp - 1) // dp) * dp  # rows shard evenly; pads unused
         self._pix_test = self._stage_fill_pixels(self.test_ds, n_pad)
 
-    def _staged_train_iter(self, epoch):
-        """One epoch of device-assembled batches: same order/GT/semantics as
-        batch_iterator + prefetch_to_device, but every array in the yielded
-        batch is the output of one on-device gather of the staged pools."""
+    def _staged_index_matrix(self, epoch) -> np.ndarray:
+        """[steps_per_epoch, batch_size] int32 — the epoch's batch order,
+        identical to what batch_iterator + the streamed path would run
+        (plain per-epoch shuffle, ragged remainder dropped; shard-aligned
+        layout on a mesh)."""
         t = self.cfg.training
         n = len(self.train_ds)
         if self.mesh is not None:
             from owlvit_tpu.parallel import shard_aligned_batches
 
-            index_batches = shard_aligned_batches(
+            rows = list(shard_aligned_batches(
                 n, t.batch_size, t.mesh_data, seed=t.seed + epoch
-            )
+            ))
         else:
             order = np.arange(n)
             np.random.default_rng(t.seed + epoch).shuffle(order)
-            index_batches = (
+            rows = [
                 order[s : s + t.batch_size]
                 for s in range(0, n - n % t.batch_size, t.batch_size)
-            )
+            ]
+        return np.asarray(rows, np.int32)
+
+    def _staged_train_iter(self, epoch):
+        """One epoch of device-assembled batches: same order/GT/semantics as
+        batch_iterator + prefetch_to_device, but every array in the yielded
+        batch is the output of one on-device gather of the staged pools."""
         want = self._want_image()
-        for idxs in index_batches:
+        for idxs in self._staged_index_matrix(epoch):
             idxs = np.asarray(idxs, np.int64)
             # settle the (tiny) index put before dispatching the gather: an
             # RPC over an in-flight put risks degraded-put mode (BENCH r4d)
@@ -837,9 +915,69 @@ class Trainer:
             batch["indices"] = idxs
             yield batch
 
+    def _epoch_device_ready(self) -> bool:
+        """True when the whole epoch can run in RPC-minimal device mode: the
+        pools are staged and no per-step host bookkeeping remains (uncached,
+        or a fully-built device act cache)."""
+        if not self._stage_on or self._pix_train is None:
+            return False
+        t = self.cfg.training
+        if not t.cache_backbone:
+            return True
+        return (
+            getattr(self, "act_store", None) == "device"
+            and self._epoch_step_cached is not None
+            and self._acts_filled.all()
+        )
+
+    def _run_epoch_device(self, epoch) -> dict:
+        """One steady-state epoch, RPC-minimal: stage the epoch's index
+        order (and hflip bits) in one settled put, dispatch every step
+        back-to-back (the step counter lives in state.step ON DEVICE), and
+        fetch the accumulated loss terms once at the end. Per-step host
+        cost: one exec dispatch — no put, no fetch. Returns the epoch's
+        mean loss terms (what LossAccumulator would have produced)."""
+        t = self.cfg.training
+        rows = self._staged_index_matrix(epoch)
+        spe = rows.shape[0]
+        rows_dev = jax.block_until_ready(jnp.asarray(rows))
+        flips_dev = None
+        if self._hflip:
+            # same Philox bits the per-step path would draw (keyed by the
+            # batch counter, which advances once per step below)
+            flips = np.stack([
+                np.random.Generator(
+                    np.random.Philox(
+                        key=[t.seed, self._batches_done + i]
+                    )
+                ).random(rows.shape[1]) < 0.5
+                for i in range(spe)
+            ])
+            flips_dev = jax.block_until_ready(jnp.asarray(flips))
+        acc = jnp.zeros((len(_TERM_KEYS),), jnp.float32)
+        accum = max(1, t.grad_accum)
+        for _ in range(spe):
+            if t.cache_backbone:
+                self.state, acc = self._epoch_step_cached(
+                    self.state, self._pix_train, self._acts_dev,
+                    rows_dev, flips_dev, acc,
+                )
+            else:
+                self.state, acc = self._epoch_step_uncached(
+                    self.state, self._pix_train, rows_dev, flips_dev, acc,
+                )
+            self._batches_done += 1
+            if self._ema_step is not None and self._batches_done % accum == 0:
+                self.ema = self._ema_step(self.ema, self.state.trainable)
+        means = np.asarray(jax.block_until_ready(acc)) / max(1, spe)
+        return dict(zip(_TERM_KEYS, means.tolist()))
+
     def _train_one_batch(self, batch) -> dict:
-        """One optimizer step (+ EMA track); routes via _train_one_batch_impl."""
-        terms = self._train_one_batch_impl(batch)
+        """One optimizer step (+ EMA track); routes via _train_one_batch_impl.
+        Returns {term: float} — unpacked from the step's packed [4] vector
+        with ONE device read (see grad_update)."""
+        packed = self._train_one_batch_impl(batch)
+        terms = dict(zip(_TERM_KEYS, np.asarray(packed).tolist()))
         self._batches_done += 1
         accum = max(1, self.cfg.training.grad_accum)
         # update only on optimizer-update boundaries: under MultiSteps the
@@ -1083,7 +1221,15 @@ class Trainer:
         profiling = None
         for epoch in range(t.n_epochs):
             acc.reset()
-            if self._stage_on and self._pix_train is not None:
+            if self._epoch_device_ready() and not (
+                t.profile_dir and epoch == 0  # profiling needs per-step hooks
+            ):
+                # RPC-minimal steady state: one put (index order), dispatch
+                # every step, one fetch (accumulated terms) — see
+                # _run_epoch_device
+                acc.update(self._run_epoch_device(epoch))
+                batches = ()
+            elif self._stage_on and self._pix_train is not None:
                 # device-assembled batches from the staged pools (identical
                 # order + numerics to the streamed path; zero image H2D)
                 batches = self._staged_train_iter(epoch)
@@ -1147,8 +1293,9 @@ class Trainer:
                 and self._acts_filled.all()
             ):
                 # every activation row is cached: the pixels are dead weight
-                # from here — free the pool's HBM before the eval epoch
-                self._pix_train = None
+                # from here — free the image pool's HBM before the eval epoch
+                # (the tiny GT pools stay: cached epochs gather them)
+                self._pix_train.pop("image", None)
 
             train_metrics = acc.means()
             run_eval = (

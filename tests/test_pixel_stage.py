@@ -56,7 +56,13 @@ def _assert_identical(log_a, log_b, metrics_a, metrics_b):
     for ra, rb in zip(log_a, log_b):
         for k in ra:
             if k.startswith("train_"):
-                assert ra[k] == rb[k], (k, ra[k], rb[k])
+                # the staged path accumulates terms in an f32 device vector
+                # (one fetch/epoch) where the streamed path sums f64 host
+                # floats — training math is identical (the params assert
+                # below is exact), only the LOGGED means differ in f32 eps
+                np.testing.assert_allclose(
+                    ra[k], rb[k], rtol=2e-6, err_msg=k
+                )
     assert float(metrics_a["map"]) == float(metrics_b["map"])
 
 
@@ -75,13 +81,20 @@ def test_staged_matches_streamed(tmp_path, overrides):
     assert t_off._stage_on is False and t_on._stage_on is True
     assert t_on._pix_test is not None  # eval ran through the staged pool
     _assert_identical(log_off, log_on, m_off, m_on)
+    # the TRAINING MATH is bit-identical: same final params either way
+    np.testing.assert_array_equal(
+        np.asarray(t_off.state.trainable["queries"]),
+        np.asarray(t_on.state.trainable["queries"]),
+    )
 
 
 def test_cached_frees_pixel_pool_after_fill(tmp_path):
     t, _, _ = _run(tmp_path, "freed", "on", cache_backbone=True)
-    # every act row filled during epoch 1 -> the pixel pool was released
+    # every act row filled during epoch 1 -> the image pool was released
+    # (GT pools stay: the device-epoch cached steps gather them)
     assert t._acts_filled.all()
-    assert t._pix_train is None
+    assert "image" not in t._pix_train
+    assert {"labels", "boxes", "gt_mask"} <= set(t._pix_train)
 
 
 def test_auto_stays_off_on_cpu(tmp_path):
