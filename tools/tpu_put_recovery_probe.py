@@ -31,7 +31,17 @@ Cases, in order (fetches deferred as long as possible):
                   reconnect is a production mitigation for long-lived
                   serving processes on this relay.
 
-Usage: python tools/tpu_put_recovery_probe.py [n_sweep]   (default 20)
+r5b run 1 (BENCH.md r5): the sweep kept NO references (the dead-buffer /
+pool-fill pattern) and STILL flipped at put 15 (~790 MB cumulative, no
+fetch ever) — so the threshold is CUMULATIVE put bytes per process, not
+live buffers, and either bulk bytes or (earlier, ~280 MB) a first fetch
+suffices. par4 aggregate 13.5 MB/s (parallel puts DON'T scale);
+clear_caches no recovery; the reconnect attempt failed on an import bug
+(jax.extend needs an explicit submodule import) — fixed here, plus a
+second-reconnect viability check (a serve put-watchdog needs reconnects
+to keep working, not just once).
+
+Usage: python tools/tpu_put_recovery_probe.py [n_sweep] [alive|dead]
 Appends one JSON line to /tmp/tpu_runs.jsonl.
 """
 
@@ -48,6 +58,7 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 n_sweep = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+mode = "alive" if "alive" in sys.argv[1:] else "dead"
 if "cpu" in sys.argv[1:]:
     jax.config.update("jax_platforms", "cpu")
 
@@ -55,7 +66,7 @@ if "cpu" in sys.argv[1:]:
 (jnp.ones((256, 256)) @ jnp.ones((256, 256))).block_until_ready()
 
 rec = {"name": "put_recovery_probe", "backend": jax.default_backend(),
-       "n_sweep": n_sweep}
+       "n_sweep": n_sweep, "mode": mode}
 rng = np.random.default_rng(0)
 B, S = 32, 768
 img = rng.integers(0, 255, (B, S * S * 3), dtype=np.uint8)  # 56.6 MB
@@ -75,7 +86,16 @@ def _consume(x):
 
 try:
     # --- bytes sweep: no fetch has EVER happened in this process ----------
-    rec["bytes_sweep_ms"] = [timed_put(img) for _ in range(n_sweep)]
+    if mode == "alive":
+        keep = []
+        times = []
+        for _ in range(n_sweep):
+            t0 = time.perf_counter()
+            keep.append(jax.block_until_ready(jnp.asarray(img)))
+            times.append(round((time.perf_counter() - t0) * 1e3, 1))
+        rec["bytes_sweep_ms"] = times
+    else:  # dead: the pool-fill pattern — each staging buffer dies at once
+        rec["bytes_sweep_ms"] = [timed_put(img) for _ in range(n_sweep)]
 
     # --- first fetch -------------------------------------------------------
     out = _consume(jnp.asarray(img))  # compile is fetch-free (AOT cache ok)
@@ -120,12 +140,25 @@ try:
     rec["puts_after_clear_caches_ms"] = [timed_put(img) for _ in range(3)]
 
     try:
+        from jax.extend.backend import clear_backends
+
         t0 = time.perf_counter()
-        jax.extend.backend.clear_backends()
+        clear_backends()
         # first device use re-dials the relay (and re-claims)
         (jnp.ones((256, 256)) @ jnp.ones((256, 256))).block_until_ready()
         rec["reconnect_s"] = round(time.perf_counter() - t0, 1)
         rec["puts_after_reconnect_ms"] = [timed_put(img) for _ in range(5)]
+
+        # a serve put-watchdog reconnects REPEATEDLY — prove #2 also works
+        # (degrade again with bulk puts first, then reconnect again)
+        for _ in range(12):
+            timed_put(img)
+        rec["puts_before_reconnect2_ms"] = [timed_put(img) for _ in range(2)]
+        t0 = time.perf_counter()
+        clear_backends()
+        (jnp.ones((256, 256)) @ jnp.ones((256, 256))).block_until_ready()
+        rec["reconnect2_s"] = round(time.perf_counter() - t0, 1)
+        rec["puts_after_reconnect2_ms"] = [timed_put(img) for _ in range(5)]
     except Exception as e:  # noqa: BLE001 — clear_backends is experimental
         rec["reconnect_err"] = repr(e)[:200]
 
