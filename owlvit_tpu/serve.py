@@ -289,6 +289,10 @@ class DetectorServer:
             self._stats["phase_secs"] = {
                 "assemble": 0.0, "h2d": 0.0, "exec": 0.0, "fetch": 0.0,
             }
+            # per-batch H2D series (ms, first 256 batches): the relay
+            # degrades puts after ~800 MB cumulative per process (BENCH.md
+            # r5b), so a flood's put cost is fast->cliff, invisible in sums
+            self._stats["h2d_series_ms"] = []
         self._latency = deque(maxlen=10_000)  # seconds, submit -> result
         self._stop = threading.Event()
         self._threads: list = []
@@ -611,6 +615,9 @@ class DetectorServer:
                 ph["assemble"] += t1 - t0
                 ph["h2d"] += t2 - t1
                 ph["exec"] += t3 - t2
+                series = self._stats["h2d_series_ms"]
+                if len(series) < 256:
+                    series.append(round((t2 - t1) * 1e3, 1))
         else:
             dev = jax.block_until_ready(self._put(images))
             out = jax.block_until_ready(call(dev))

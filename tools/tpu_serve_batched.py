@@ -158,6 +158,7 @@ try:
         mean_dets=round(n_det / total, 1) if total else None,
         phase_secs={k: round(v, 2) for k, v in st["phase_secs"].items()}
         if "phase_secs" in st else None,
+        h2d_series_ms=st.get("h2d_series_ms"),
         ok=True,
         secs=round(time.time() - t0, 1),
     )
