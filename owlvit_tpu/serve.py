@@ -294,6 +294,10 @@ class DetectorServer:
             # r5b), so a flood's put cost is fast->cliff, invisible in sums
             self._stats["h2d_series_ms"] = []
         self._latency = deque(maxlen=10_000)  # seconds, submit -> result
+        # One lock serializes ALL relay RPCs between the dispatch thread and
+        # bulk_detect callers (per device phase, not per job, so online
+        # traffic interleaves a running bulk job at batch granularity).
+        self._relay_lock = threading.Lock()
         self._stop = threading.Event()
         self._threads: list = []
         if warmup:
@@ -426,6 +430,150 @@ class DetectorServer:
             image, queries=queries, query_image=query_image
         ).result(timeout=timeout)
 
+    def bulk_detect(self, images, queries=None) -> list:
+        """Fetch-DEFERRED offline/batch inference over a list of images.
+
+        Runs every batch put -> exec on the caller's thread and keeps each
+        batch's packed detections DEVICE-resident; nothing crosses back to
+        the host until all batches have executed, then one fetch pass
+        returns every result. Why this exists (measured, BENCH.md r5b/r5c
+        put-recovery probes): on the TPU relay a process keeps fast H2D
+        puts (~1.4 GB/s) until its FIRST device->host fetch; that fetch
+        stalls ~1-9 min and afterwards every put runs at ~10-30 MB/s
+        permanently (server-side per-session state — reconnect does not
+        recover it). Online serving fetches per batch and is therefore
+        relay-capped at ~16 img/s; a bulk job that defers all fetches keeps
+        the put path fast for its whole length and pays the one-time fetch
+        stall amortized over the job. On hardware without the relay
+        pathology this is simply a tight pipelined batch loop.
+
+        Results are small on device: [bucket, top_k*7] f32 per batch
+        (~180 KB at b32/K=200), so a job of tens of thousands of images
+        holds well under 1 GB of outputs in HBM.
+
+        Parameters
+        ----------
+        images : sequence of RGB uint8 [H, W, 3] arrays (resized host-side
+            if not model-sized, as in `submit`).
+        queries : optional list of free-text strings shared by the WHOLE
+            job (zero-shot). Encoded device-resident — deliberately
+            bypassing the host text cache, whose fetch would end fast-put
+            mode. Requires the server's `tokenizer`.
+
+        Returns a list of result dicts (same schema as `detect`) in input
+        order. Thread-safe with online traffic at batch granularity via
+        the relay lock — but note any concurrent online FETCH flips the
+        process out of fast-put mode, so run big bulk jobs on a quiet
+        server for full speed.
+        """
+        images = list(images)
+        if not images:
+            return []
+        if queries is not None:
+            if self._tok is None:
+                raise ValueError(
+                    "bulk_detect(queries=...) requires DetectorServer("
+                    "tokenizer=...)"
+                )
+            if not 1 <= len(queries) <= self._max_queries:
+                raise ValueError(
+                    f"got {len(queries)} queries; serving compiles for "
+                    f"1..{self._max_queries} (max_queries)"
+                )
+            queries = tuple(str(q) for q in queries)
+        bucket = self.buckets[-1]
+        S = self.image_size
+        sized, whs = [], []
+        for im in images:
+            h, w = im.shape[:2] if im.ndim == 3 else (0, 0)
+            sized.append(self._model_sized(im, "image"))
+            whs.append((w, h))
+
+        qemb_dev = qmask_dev = None
+        if queries is not None:
+            # Device-resident query embeddings: encode each string through
+            # the same [1, L] executable the online path uses, but never
+            # np.asarray the result (stack/pad/broadcast are device-side
+            # eager ops) — the whole job stays fetch-free until the end.
+            with self._relay_lock:
+                embs = []
+                for q in queries:
+                    enc = self._tok([q])
+                    ids = jax.block_until_ready(
+                        jnp.asarray(enc["input_ids"]))
+                    am = jax.block_until_ready(
+                        jnp.asarray(enc["attention_mask"]))
+                    e = jax.block_until_ready(
+                        self._encode_text(self._params, ids, am))
+                    embs.append(e[0])
+                qe = jnp.stack(embs)  # [n, proj], device
+                qe = jnp.pad(qe, ((0, self._max_queries - len(embs)), (0, 0)))
+                qemb_dev = jax.block_until_ready(jnp.broadcast_to(
+                    qe[None], (bucket, self._max_queries, self._proj)
+                ).astype(jnp.float32))
+                mask = np.zeros((bucket, self._max_queries), np.int32)
+                mask[:, : len(queries)] = 1  # tiny (KBs) put
+                qmask_dev = jax.block_until_ready(self._put(mask))
+
+        t_job = time.perf_counter()
+        put_s = exec_s = 0.0
+        put_series: list = []
+        device_out: list = []  # [bucket, K*7] f32 per batch, ON DEVICE
+        for lo in range(0, len(sized), bucket):
+            chunk = sized[lo : lo + bucket]
+            flat = np.zeros((bucket, S * S * 3), np.uint8)
+            for i, im in enumerate(chunk):
+                flat[i] = im.reshape(-1)
+            with self._relay_lock:
+                t0 = time.perf_counter()
+                dev = jax.block_until_ready(self._put(flat))
+                t1 = time.perf_counter()
+                if queries is not None:
+                    out = jax.block_until_ready(self._serve_zs(
+                        self._params, dev, qemb_dev, qmask_dev))
+                else:
+                    out = jax.block_until_ready(
+                        self._serve(self._params, dev))
+                t2 = time.perf_counter()
+            put_s += t1 - t0
+            exec_s += t2 - t1
+            if len(put_series) < 512:
+                put_series.append(round((t1 - t0) * 1e3, 1))
+            device_out.append(out)
+
+        # One deferred fetch pass: the first np.asarray pays the relay's
+        # per-process flush stall once; d2h is never degraded after it.
+        t_f = time.perf_counter()
+        results: list = []
+        first_fetch_s = None
+        for bi, out in enumerate(device_out):
+            with self._relay_lock:
+                tf0 = time.perf_counter()
+                packed = np.asarray(out)
+                if first_fetch_s is None:
+                    first_fetch_s = time.perf_counter() - tf0
+            packed = packed.reshape(bucket, self._top_k, 7)
+            for i in range(min(bucket, len(sized) - bi * bucket)):
+                results.append(self._unpack_row(
+                    packed[i], whs[bi * bucket + i], queries))
+        fetch_s = time.perf_counter() - t_f
+
+        with self._lock:
+            b = self._stats.setdefault("bulk", {
+                "jobs": 0, "images": 0, "batches": 0,
+                "put_secs": 0.0, "exec_secs": 0.0, "fetch_secs": 0.0,
+            })
+            b["jobs"] += 1
+            b["images"] += len(sized)
+            b["batches"] += len(device_out)
+            b["put_secs"] += round(put_s, 3)
+            b["exec_secs"] += round(exec_s, 3)
+            b["fetch_secs"] += round(fetch_s, 3)
+            b["last_first_fetch_secs"] = round(first_fetch_s, 3)
+            b["last_job_secs"] = round(time.perf_counter() - t_job, 3)
+            b["last_put_series_ms"] = put_series
+        return results
+
     def stats(self) -> dict:
         with self._lock:
             lat = sorted(self._latency)
@@ -528,7 +676,8 @@ class DetectorServer:
         thread."""
         tf0 = time.perf_counter()
         try:
-            packed = np.asarray(out)
+            with self._relay_lock:
+                packed = np.asarray(out)
         except Exception as e:  # noqa: BLE001 — a device failure can still
             # surface at the fetch RPC; fail the batch's futures
             for req in batch:
@@ -606,9 +755,10 @@ class DetectorServer:
         # futures.
         if self._debug_phases:
             t1 = time.perf_counter()
-            dev = jax.block_until_ready(self._put(images))
-            t2 = time.perf_counter()
-            out = jax.block_until_ready(call(dev))
+            with self._relay_lock:
+                dev = jax.block_until_ready(self._put(images))
+                t2 = time.perf_counter()
+                out = jax.block_until_ready(call(dev))
             t3 = time.perf_counter()
             with self._lock:
                 ph = self._stats["phase_secs"]
@@ -619,14 +769,32 @@ class DetectorServer:
                 if len(series) < 256:
                     series.append(round((t2 - t1) * 1e3, 1))
         else:
-            dev = jax.block_until_ready(self._put(images))
-            out = jax.block_until_ready(call(dev))
+            with self._relay_lock:
+                dev = jax.block_until_ready(self._put(images))
+                out = jax.block_until_ready(call(dev))
         with self._lock:
             self._stats["batches"] += 1
             self._stats["zs_batches"] += int(is_zs)
             self._stats["padded_rows"] += bucket - n
             self._stats["bucket_counts"][bucket] += 1
         return out
+
+    def _unpack_row(self, row: np.ndarray, orig_wh: tuple,
+                    queries: tuple | None, one_shot: bool = False) -> dict:
+        """Decode one image's packed [K, 7] block (boxes/score/class/valid)
+        into the client result dict, boxes rescaled to original pixels."""
+        keep = row[:, 6] > 0.5
+        w, h = orig_wh
+        res = {
+            "boxes": row[keep, :4] * np.array([w, h, w, h], np.float32),
+            "scores": row[keep, 4],
+            "classes": row[keep, 5].astype(np.int32),
+        }
+        if queries is not None:  # classes index the request's queries
+            res["labels"] = [queries[c] for c in res["classes"]]
+        elif one_shot:  # one-shot: single query slot
+            res["labels"] = ["query-object"] * len(res["classes"])
+        return res
 
     def _complete_loop(self):
         # Pure-host postprocessing: unpack the already-fetched numpy block
@@ -640,19 +808,10 @@ class DetectorServer:
             now = time.perf_counter()
             packed = packed.reshape(packed.shape[0], self._top_k, 7)
             for i, req in enumerate(batch):
-                keep = packed[i, :, 6] > 0.5
-                w, h = req.orig_wh
-                res = {
-                    "boxes": packed[i, keep, :4]
-                    * np.array([w, h, w, h], np.float32),
-                    "scores": packed[i, keep, 4],
-                    "classes": packed[i, keep, 5].astype(np.int32),
-                }
-                if req.queries is not None:  # classes index req.queries
-                    res["labels"] = [req.queries[c] for c in res["classes"]]
-                elif req.qimage is not None:  # one-shot: single query slot
-                    res["labels"] = ["query-object"] * len(res["classes"])
-                req.future.set_result(res)
+                req.future.set_result(self._unpack_row(
+                    packed[i], req.orig_wh, req.queries,
+                    one_shot=req.qimage is not None,
+                ))
             with self._lock:
                 self._stats["requests"] += len(batch)
                 self._latency.extend(now - r.t_enqueue for r in batch)

@@ -532,3 +532,68 @@ def test_backlog_forms_full_batches(detector):
     # client is still enqueueing, full 4-buckets after (16 batches = bug)
     assert st["batches"] <= 8, st
     assert st["requests"] == 16
+
+
+def test_bulk_detect_matches_online(detector):
+    """bulk_detect (fetch-deferred batches, device-resident results, one
+    trailing fetch pass) must return exactly what the online path returns
+    for the same images — same executables, different fetch schedule."""
+    params, cfg = detector
+    S = cfg.vision.image_size
+    images = _rand_images(5, S, seed=21)
+    with DetectorServer(params, cfg, buckets=(2,), max_delay_ms=5,
+                        top_k=16, warmup=False) as srv:
+        online = [srv.detect(img, timeout=120) for img in images]
+        bulk = srv.bulk_detect(list(images))
+        st = srv.stats()
+
+    assert len(bulk) == 5
+    for o, b in zip(online, bulk):
+        np.testing.assert_array_equal(o["boxes"], b["boxes"])
+        np.testing.assert_array_equal(o["scores"], b["scores"])
+        np.testing.assert_array_equal(o["classes"], b["classes"])
+        assert "labels" not in b
+    # 5 images at bucket 2 -> 3 batches (last padded); accounting recorded
+    assert st["bulk"]["jobs"] == 1
+    assert st["bulk"]["images"] == 5
+    assert st["bulk"]["batches"] == 3
+    assert len(st["bulk"]["last_put_series_ms"]) == 3
+
+
+def test_bulk_detect_zero_shot_matches_direct(detector):
+    """Job-shared free-text queries: device-resident embeddings (no host
+    text cache) must reproduce the direct zero-shot forward."""
+    params, cfg = detector
+    S = cfg.vision.image_size
+    images = _rand_images(3, S, seed=22)
+    queries = ("a red box", "a striped circle")
+    tok = _hash_tok(cfg)
+    ref = _zs_direct(params, cfg, images, tok, queries)
+
+    with DetectorServer(params, cfg, buckets=(4,), max_delay_ms=5,
+                        top_k=16, warmup=False, tokenizer=tok,
+                        max_queries=3) as srv:
+        bulk = srv.bulk_detect(list(images), queries=list(queries))
+        # deliberately bypasses the host text cache (a cache fill would
+        # fetch mid-job and end fast-put mode on the relay)
+        assert len(srv._text_cache) == 0
+
+    for i, res in enumerate(bulk):
+        keep = ref["valid"][i]
+        np.testing.assert_allclose(
+            res["boxes"] / S, ref["boxes"][i][keep], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            res["scores"], ref["scores"][i][keep], rtol=1e-4, atol=1e-5)
+        assert (res["classes"] == ref["classes"][i][keep]).all()
+        assert res["labels"] == [queries[c] for c in res["classes"]]
+
+
+def test_bulk_detect_guards(detector):
+    """Empty job -> []; queries without a tokenizer -> ValueError."""
+    params, cfg = detector
+    srv = DetectorServer(params, cfg, buckets=(1,), warmup=False,
+                         autostart=False)
+    assert srv.bulk_detect([]) == []
+    S = cfg.vision.image_size
+    with pytest.raises(ValueError, match="tokenizer"):
+        srv.bulk_detect([_rand_images(1, S)[0]], queries=["thing"])

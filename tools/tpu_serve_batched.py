@@ -8,6 +8,9 @@ serving, vs the fixed-batch 153.9 img/s row in BENCH.md.
 
 Usage: python tools/tpu_serve_batched.py NAME [model=b16] [buckets=32]
          [rate=0] [total=640] [delay_ms=5] [cpu=0] [phases=1] [direct=N]
+         [bulk=N]
+bulk=N runs serve.bulk_detect over N images AFTER the flood (total=0 for a
+bulk-only, fetch-free-until-the-end process — the fast-put headline).
 phases=1 sets OWLVIT_SERVE_PHASES (per-batch assemble/h2d/exec/fetch timing;
 disables dispatch pipelining — diagnosis only). direct=N additionally runs N
 main-thread synchronous batches through the SAME warmed executable after the
@@ -139,6 +142,27 @@ try:
         rec["direct_imgs_per_sec"] = round(
             n_direct * b / (ph["e2e_eager"] or 1e-9), 2
         )
+    n_bulk = int(args.get("bulk", "0"))
+    if n_bulk:
+        # Fetch-deferred bulk inference (serve.bulk_detect): every batch's
+        # packed results stay device-resident; ONE fetch pass at the end.
+        # With total=0 this process never fetches before the bulk job, so
+        # puts stay in fast mode for its whole length (BENCH.md r5c).
+        tb = time.perf_counter()
+        res = srv.bulk_detect([pool[i % len(pool)] for i in range(n_bulk)])
+        bwall = time.perf_counter() - tb
+        bst = srv.stats()["bulk"]
+        rec["bulk"] = {
+            "images": n_bulk,
+            "imgs_per_sec": round(n_bulk / bwall, 2),
+            "wall_secs": round(bwall, 2),
+            "pre_fetch_imgs_per_sec": round(
+                n_bulk / (bst["put_secs"] + bst["exec_secs"]), 2),
+            "mean_dets": round(
+                sum(len(r["boxes"]) for r in res) / n_bulk, 1),
+            **bst,
+        }
+        print(json.dumps({"bulk": rec["bulk"]}), flush=True)
     srv.close()
     from owlvit_tpu.utils import flops as flops_mod
 
