@@ -192,16 +192,25 @@ def main():
     if os.environ.get("BENCH_SKIP_CACHED") != "1":
         from owlvit_tpu.utils.bench_cached import measure_cached_steady_state
 
-        c = measure_cached_steady_state(model, batch, n_steps)
+        # L/14 default: skip the monolithic pool-gather structure — it
+        # faults the r5-era relay deterministically (3/3, same line) while
+        # resident + split-gather pass; the trainer prefers split anyway.
+        # BENCH_POOL_GATHER=0/1 overrides either way.
+        pool_gather = os.environ.get(
+            "BENCH_POOL_GATHER", "0" if model == "l14" else "1") == "1"
+        c = measure_cached_steady_state(model, batch, n_steps,
+                                        pool_gather=pool_gather)
         assert np.isfinite(c["loss"])
-        cached = c["gather_imgs_per_sec"]
         cached_resident = c["tail_imgs_per_sec"]
         cached_split = c.get("split_gather_imgs_per_sec")
-        if cached_split:
-            # the trainer routes device-store steady-state steps through
-            # whichever gather structure is faster (split gather confines
-            # the pool argument to a one-op program); headline follows it
-            cached = max(cached, cached_split)
+        # the trainer routes device-store steady-state steps through
+        # whichever gather structure is faster (split gather confines
+        # the pool argument to a one-op program); headline follows it
+        cached = max(
+            (v for v in (c["gather_imgs_per_sec"], cached_split)
+             if v is not None),
+            default=None,
+        )
 
     # --- uncached full step (epoch-1 cost; reference-comparable) -----------
     step, state, data = _build(model, batch, "bfloat16", trainable_last_k=1)

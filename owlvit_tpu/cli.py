@@ -235,6 +235,95 @@ def _cmd_serve(args):
         server.close()
 
 
+def _cmd_bulk_infer(args):
+    """Offline batch detection over a directory of images via the
+    fetch-deferred bulk path (serve.bulk_detect): every batch's packed
+    detections stay device-resident until one trailing fetch pass, which
+    keeps host->device puts in fast mode on the TPU relay for the whole
+    job (online serving's per-batch fetch permanently degrades later puts
+    ~50-100x — BENCH.md r5b/r5c). Writes {filename: detections} JSON."""
+    import json as _json
+    import time
+    from pathlib import Path
+
+    import numpy as np
+    from PIL import Image
+
+    from owlvit_tpu.serve import DetectorServer
+    from owlvit_tpu.train import Trainer
+    from owlvit_tpu.train.state import combine_params
+    from owlvit_tpu.utils.config import load_config
+
+    cfg = load_config(args.config)
+    trainer = Trainer(cfg, workdir=args.workdir)
+    params = combine_params(trainer.state.trainable, trainer.state.frozen)
+    tok = None
+    if args.queries:
+        from owlvit_tpu.data.tokenizer import CLIPTokenizer, HashTokenizer
+
+        if cfg.model.clip_vocab:
+            tok = CLIPTokenizer(cfg.model.clip_vocab, cfg.model.clip_merges,
+                                max_len=trainer.model_cfg.text.max_len)
+        else:
+            print("warning: model.clip_vocab unset — queries use the "
+                  "fallback HashTokenizer (meaningless for a real "
+                  "checkpoint; see `infer --queries`)",
+                  file=sys.stderr, flush=True)
+            tok = HashTokenizer(trainer.model_cfg.text.vocab_size,
+                                max_len=trainer.model_cfg.text.max_len)
+
+    exts = {".png", ".jpg", ".jpeg", ".bmp", ".webp"}
+    paths = sorted(
+        p for p in Path(args.input_dir).iterdir()
+        if p.suffix.lower() in exts
+    )
+    if not paths:
+        print(f"no images in {args.input_dir}", file=sys.stderr)
+        return 1
+    # Decode + resize host-side BEFORE any relay traffic: the whole job is
+    # in memory, so the device loop below runs back-to-back put->exec with
+    # zero host stalls between batches.
+    images = [np.asarray(Image.open(p).convert("RGB")) for p in paths]
+
+    # warmup=False + stage_first: every pixel put lands while the process
+    # is pristine (before the serve graph's remote compile / first big
+    # exec / first fetch — any of which can flip the relay into permanent
+    # ~30 MB/s puts). All job inputs are device-resident at once: ~1.7 MB
+    # per 768px image, so size jobs to HBM (<=~4000 images beside B/16).
+    srv = DetectorServer(
+        params, trainer.model_cfg, buckets=(args.batch_size,),
+        confidence_threshold=cfg.training.confidence_threshold,
+        iou_threshold=cfg.training.iou_threshold,
+        top_k=cfg.training.top_k,
+        warmup=False, autostart=False, tokenizer=tok,
+        max_queries=max(8, len(args.queries or ())),
+    )
+    t0 = time.perf_counter()
+    results = srv.bulk_detect(images, queries=args.queries,
+                              stage_first=True)
+    wall = time.perf_counter() - t0
+    names = (
+        {i: q for i, q in enumerate(args.queries)} if args.queries
+        else (trainer.labelmap or {})
+    )
+    out = {}
+    for p, r in zip(paths, results):
+        out[p.name] = {
+            "boxes": np.round(r["boxes"], 2).tolist(),
+            "scores": np.round(r["scores"], 4).tolist(),
+            "classes": r["classes"].tolist(),
+            "labels": [names.get(int(c), str(int(c)))
+                       for c in r["classes"]],
+        }
+    with open(args.out, "w") as f:
+        _json.dump(out, f)
+    st = srv.stats().get("bulk", {})
+    print(f"{len(paths)} images in {wall:.1f}s "
+          f"({len(paths) / wall:.1f} img/s; put {st.get('put_secs')}s "
+          f"exec {st.get('exec_secs')}s fetch {st.get('fetch_secs')}s) "
+          f"-> {args.out}", flush=True)
+
+
 def _cmd_convert(args):
     """Offline HF -> npz conversion (torch/transformers allowed here only)."""
     from transformers import OwlViTForObjectDetection
@@ -279,6 +368,17 @@ def main(argv=None):
     sp.add_argument("--query-image", default=None,
                     help="exemplar image -> one-shot detection")
     sp.set_defaults(fn=_cmd_infer)
+
+    sp = sub.add_parser("bulk-infer")
+    sp.add_argument("--config", required=True)
+    sp.add_argument("--input-dir", required=True)
+    sp.add_argument("--out", required=True,
+                    help="output JSON: {filename: boxes/scores/classes/labels}")
+    sp.add_argument("--workdir", default=".")
+    sp.add_argument("--batch-size", type=int, default=32)
+    sp.add_argument("--queries", nargs="+", default=None,
+                    help="job-shared free-text queries (zero-shot)")
+    sp.set_defaults(fn=_cmd_bulk_infer)
 
     sp = sub.add_parser("make-synthetic")
     sp.add_argument("--root", required=True)

@@ -430,7 +430,8 @@ class DetectorServer:
             image, queries=queries, query_image=query_image
         ).result(timeout=timeout)
 
-    def bulk_detect(self, images, queries=None) -> list:
+    def bulk_detect(self, images, queries=None,
+                    stage_first: bool = False) -> list:
         """Fetch-DEFERRED offline/batch inference over a list of images.
 
         Runs every batch put -> exec on the caller's thread and keeps each
@@ -459,6 +460,19 @@ class DetectorServer:
             job (zero-shot). Encoded device-resident — deliberately
             bypassing the host text cache, whose fetch would end fast-put
             mode. Requires the server's `tokenizer`.
+
+        stage_first : put EVERY batch onto the device before the first
+            executable runs (then exec over the staged inputs, then fetch).
+            The relay can flip a process into degraded-put mode on events
+            other than the first fetch (a big remote compile / first big
+            exec is the suspect — r5d; the training pixel pre-stage exists
+            for the same reason), so a job that front-loads all of its H2D
+            while the process is still pristine is immune to the flip no
+            matter which event triggers it. Costs HBM: all job pixels are
+            device-resident at once (~56 MB per b32 batch — size jobs to
+            HBM, e.g. <=4000 768px images beside B/16 params). For full
+            effect construct the server with warmup=False and make this
+            job's call the process's first device work.
 
         Returns a list of result dicts (same schema as `detect`) in input
         order. Thread-safe with online traffic at batch granularity via
@@ -489,57 +503,87 @@ class DetectorServer:
             sized.append(self._model_sized(im, "image"))
             whs.append((w, h))
 
-        qemb_dev = qmask_dev = None
-        if queries is not None:
-            # Device-resident query embeddings: encode each string through
-            # the same [1, L] executable the online path uses, but never
-            # np.asarray the result (stack/pad/broadcast are device-side
-            # eager ops) — the whole job stays fetch-free until the end.
-            with self._relay_lock:
-                embs = []
-                for q in queries:
-                    enc = self._tok([q])
-                    ids = jax.block_until_ready(
-                        jnp.asarray(enc["input_ids"]))
-                    am = jax.block_until_ready(
-                        jnp.asarray(enc["attention_mask"]))
-                    e = jax.block_until_ready(
-                        self._encode_text(self._params, ids, am))
-                    embs.append(e[0])
-                qe = jnp.stack(embs)  # [n, proj], device
-                qe = jnp.pad(qe, ((0, self._max_queries - len(embs)), (0, 0)))
-                qemb_dev = jax.block_until_ready(jnp.broadcast_to(
-                    qe[None], (bucket, self._max_queries, self._proj)
-                ).astype(jnp.float32))
-                mask = np.zeros((bucket, self._max_queries), np.int32)
-                mask[:, : len(queries)] = 1  # tiny (KBs) put
-                qmask_dev = jax.block_until_ready(self._put(mask))
-
         t_job = time.perf_counter()
         put_s = exec_s = 0.0
         put_series: list = []
-        device_out: list = []  # [bucket, K*7] f32 per batch, ON DEVICE
-        for lo in range(0, len(sized), bucket):
+        state = {"qemb": None, "qmask": None}
+
+        def _assemble(lo):
             chunk = sized[lo : lo + bucket]
             flat = np.zeros((bucket, S * S * 3), np.uint8)
             for i, im in enumerate(chunk):
                 flat[i] = im.reshape(-1)
-            with self._relay_lock:
-                t0 = time.perf_counter()
-                dev = jax.block_until_ready(self._put(flat))
-                t1 = time.perf_counter()
-                if queries is not None:
-                    out = jax.block_until_ready(self._serve_zs(
-                        self._params, dev, qemb_dev, qmask_dev))
-                else:
-                    out = jax.block_until_ready(
-                        self._serve(self._params, dev))
-                t2 = time.perf_counter()
-            put_s += t1 - t0
-            exec_s += t2 - t1
+            return flat
+
+        def _put_timed(flat):
+            nonlocal put_s
+            t0 = time.perf_counter()
+            dev = jax.block_until_ready(self._put(flat))
+            dt = time.perf_counter() - t0
+            put_s += dt
             if len(put_series) < 512:
-                put_series.append(round((t1 - t0) * 1e3, 1))
-            device_out.append(out)
+                put_series.append(round(dt * 1e3, 1))
+            return dev
+
+        def _exec_timed(dev):
+            nonlocal exec_s
+            t0 = time.perf_counter()
+            if queries is not None:
+                out = jax.block_until_ready(self._serve_zs(
+                    self._params, dev, state["qemb"], state["qmask"]))
+            else:
+                out = jax.block_until_ready(self._serve(self._params, dev))
+            exec_s += time.perf_counter() - t0
+            return out
+
+        def _setup_queries():
+            # Device-resident query embeddings: encode each string through
+            # the same [1, L] executable the online path uses, but never
+            # np.asarray the result (stack/pad/broadcast are device-side
+            # eager ops) — the whole job stays fetch-free until the end.
+            if queries is None:
+                return
+            embs = []
+            for q in queries:
+                enc = self._tok([q])
+                ids = jax.block_until_ready(jnp.asarray(enc["input_ids"]))
+                am = jax.block_until_ready(
+                    jnp.asarray(enc["attention_mask"]))
+                e = jax.block_until_ready(
+                    self._encode_text(self._params, ids, am))
+                embs.append(e[0])
+            qe = jnp.stack(embs)  # [n, proj], device
+            qe = jnp.pad(qe, ((0, self._max_queries - len(embs)), (0, 0)))
+            state["qemb"] = jax.block_until_ready(jnp.broadcast_to(
+                qe[None], (bucket, self._max_queries, self._proj)
+            ).astype(jnp.float32))
+            mask = np.zeros((bucket, self._max_queries), np.int32)
+            mask[:, : len(queries)] = 1  # tiny (KBs) put
+            state["qmask"] = jax.block_until_ready(self._put(mask))
+
+        offsets = range(0, len(sized), bucket)
+        device_out: list = []  # [bucket, K*7] f32 per batch, ON DEVICE
+        if stage_first:
+            # ALL H2D first, while the process is pristine (no compile,
+            # no big exec, no fetch has happened yet if the caller set the
+            # server up for it) — then compiles/execs, then the fetch pass.
+            staged: list = []
+            with self._relay_lock:
+                for lo in offsets:
+                    staged.append(_put_timed(_assemble(lo)))
+                _setup_queries()  # text-tower compile AFTER the pixel puts
+            for bi in range(len(staged)):
+                with self._relay_lock:
+                    device_out.append(_exec_timed(staged[bi]))
+                staged[bi] = None  # free the input slot's HBM
+        else:
+            with self._relay_lock:
+                _setup_queries()
+            for lo in offsets:
+                flat = _assemble(lo)
+                with self._relay_lock:
+                    dev = _put_timed(flat)
+                    device_out.append(_exec_timed(dev))
 
         # One deferred fetch pass: the first np.asarray pays the relay's
         # per-process flush stall once; d2h is never degraded after it.
@@ -572,6 +616,7 @@ class DetectorServer:
             b["last_first_fetch_secs"] = round(first_fetch_s, 3)
             b["last_job_secs"] = round(time.perf_counter() - t_job, 3)
             b["last_put_series_ms"] = put_series
+            b["last_stage_first"] = stage_first
         return results
 
     def stats(self) -> dict:

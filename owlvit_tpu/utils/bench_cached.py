@@ -46,6 +46,7 @@ def measure_cached_steady_state(
     seed: int = 0,
     pool_bytes: float = 2e9,
     max_pool_rows: int = 2500,
+    pool_gather: bool = True,
 ) -> dict:
     """Returns dict(tail_imgs_per_sec, gather_imgs_per_sec, loss, acts_mb,
     pool_imgs)."""
@@ -119,17 +120,25 @@ def measure_cached_steady_state(
     acts_all = acts_all.at[:batch].set(acts)
     idxs = jnp.asarray(rng.integers(0, batch, (batch,), dtype=np.int64))
 
-    def gather_step(state, acts_all, idxs, labels, boxes, gt_mask):
-        return tail_step(state, acts_all[idxs], labels, boxes, gt_mask)
+    # pool_gather=False skips this monolithic structure: at L/14 (2 GB pool
+    # beside the 24-layer tail grads) it faults the r5-era relay 3/3 — in
+    # the SAME place every time, where it measured cleanly in r3 (114.3
+    # img/s) — while the split structure below confines the pool to a
+    # one-op program. The trainer already routes steady-state steps through
+    # whichever structure is faster, so split alone is recipe-faithful.
+    gather_ips = None
+    if pool_gather:
+        def gather_step(state, acts_all, idxs, labels, boxes, gt_mask):
+            return tail_step(state, acts_all[idxs], labels, boxes, gt_mask)
 
-    gstep = jax.jit(gather_step, donate_argnums=(0,))
-    state, loss = gstep(state, acts_all, idxs, la, bo, gm)  # compile
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, loss = gstep(state, acts_all, idxs, la, bo, gm)
-    jax.block_until_ready(loss)
-    gather_ips = steps * batch / (time.perf_counter() - t0)
+        gstep = jax.jit(gather_step, donate_argnums=(0,))
+        state, loss = gstep(state, acts_all, idxs, la, bo, gm)  # compile
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, loss = gstep(state, acts_all, idxs, la, bo, gm)
+        jax.block_until_ready(loss)
+        gather_ips = steps * batch / (time.perf_counter() - t0)
 
     # SPLIT gather: the batch gather runs as its OWN tiny program and the
     # tail step takes the gathered acts as a direct arg. Rationale: the
@@ -154,7 +163,8 @@ def measure_cached_steady_state(
 
     return {
         "tail_imgs_per_sec": round(tail_ips, 2),
-        "gather_imgs_per_sec": round(gather_ips, 2),
+        "gather_imgs_per_sec":
+            round(gather_ips, 2) if gather_ips is not None else None,
         "split_gather_imgs_per_sec": split_ips,
         "loss": float(loss),
         "acts_mb": round(acts_mb, 1),

@@ -588,6 +588,30 @@ def test_bulk_detect_zero_shot_matches_direct(detector):
         assert res["labels"] == [queries[c] for c in res["classes"]]
 
 
+def test_bulk_detect_stage_first_matches(detector):
+    """stage_first (all puts before any exec) is a pure reordering — the
+    results must be identical to the default interleaved schedule, for
+    both the bank and job-shared-queries lanes."""
+    params, cfg = detector
+    S = cfg.vision.image_size
+    images = _rand_images(5, S, seed=23)
+    tok = _hash_tok(cfg)
+    with DetectorServer(params, cfg, buckets=(2,), max_delay_ms=5,
+                        top_k=16, warmup=False, autostart=False,
+                        tokenizer=tok, max_queries=2) as srv:
+        plain = srv.bulk_detect(list(images))
+        staged = srv.bulk_detect(list(images), stage_first=True)
+        zs_plain = srv.bulk_detect(list(images), queries=["thing"])
+        zs_staged = srv.bulk_detect(list(images), queries=["thing"],
+                                    stage_first=True)
+        st = srv.stats()
+    for a, b in zip(plain + zs_plain, staged + zs_staged):
+        np.testing.assert_array_equal(a["boxes"], b["boxes"])
+        np.testing.assert_array_equal(a["scores"], b["scores"])
+        np.testing.assert_array_equal(a["classes"], b["classes"])
+    assert st["bulk"]["last_stage_first"] is True
+
+
 def test_bulk_detect_guards(detector):
     """Empty job -> []; queries without a tokenizer -> ValueError."""
     params, cfg = detector

@@ -930,8 +930,12 @@ try:
         # benchmark and this tool measure identical graphs.
         from owlvit_tpu.utils.bench_cached import measure_cached_steady_state
 
+        # gather=0 skips the monolithic pool-gather structure (L/14: 2 GB
+        # pool arg beside tail grads faults the r5-era relay deterministically;
+        # split-gather is the trainer's preferred structure anyway)
         c = measure_cached_steady_state(
-            model, batch, steps, dtype=dtype, trainable_last_k=k or 1
+            model, batch, steps, dtype=dtype, trainable_last_k=k or 1,
+            pool_gather=args.get("gather", "1") == "1",
         )
         rec.update(
             acts_mb=c["acts_mb"],

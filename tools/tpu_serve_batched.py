@@ -8,9 +8,11 @@ serving, vs the fixed-batch 153.9 img/s row in BENCH.md.
 
 Usage: python tools/tpu_serve_batched.py NAME [model=b16] [buckets=32]
          [rate=0] [total=640] [delay_ms=5] [cpu=0] [phases=1] [direct=N]
-         [bulk=N]
+         [bulk=N] [bulkstage=1] [warm=0]
 bulk=N runs serve.bulk_detect over N images AFTER the flood (total=0 for a
 bulk-only, fetch-free-until-the-end process — the fast-put headline).
+bulkstage=1 stages ALL bulk inputs on device before the first exec
+(pair with warm=0 so the puts precede even the first compile).
 phases=1 sets OWLVIT_SERVE_PHASES (per-batch assemble/h2d/exec/fetch timing;
 disables dispatch pipelining — diagnosis only). direct=N additionally runs N
 main-thread synchronous batches through the SAME warmed executable after the
@@ -64,7 +66,7 @@ try:
 
     tw = time.time()
     srv = DetectorServer(params, cfg, buckets=buckets, max_delay_ms=delay_ms,
-                         warmup=True)
+                         warmup=args.get("warm", "1") == "1")
     rec["warmup_secs"] = round(time.time() - tw, 1)
     print(f"warmed {len(buckets)} bucket(s) in {rec['warmup_secs']} s",
           flush=True)
@@ -143,13 +145,15 @@ try:
             n_direct * b / (ph["e2e_eager"] or 1e-9), 2
         )
     n_bulk = int(args.get("bulk", "0"))
+    bulk_stage = args.get("bulkstage") == "1"
     if n_bulk:
         # Fetch-deferred bulk inference (serve.bulk_detect): every batch's
         # packed results stay device-resident; ONE fetch pass at the end.
         # With total=0 this process never fetches before the bulk job, so
         # puts stay in fast mode for its whole length (BENCH.md r5c).
         tb = time.perf_counter()
-        res = srv.bulk_detect([pool[i % len(pool)] for i in range(n_bulk)])
+        res = srv.bulk_detect([pool[i % len(pool)] for i in range(n_bulk)],
+                              stage_first=bulk_stage)
         bwall = time.perf_counter() - tb
         bst = srv.stats()["bulk"]
         rec["bulk"] = {
