@@ -51,6 +51,15 @@ def _gc_between_modules():
     churns jax's weakref-keyed caches (recompiles), which ballooned the
     suite from ~16 to >30 min when run per test. TPU runs are
     one-job-per-process (CLAUDE.md) and never hit this.
+
+    OPEN ROOT CAUSE (tracked; ADVICE r4): the mechanism smells like a
+    buffer-lifetime/use-after-donation bug in the CPU backend — this
+    fixture makes the suite deterministic but does not fix it. Next
+    discriminator: rerun the bisected pair above in one process with
+    donate_argnums stripped from trainer jits (if the drift vanishes,
+    it's donated-buffer reuse racing GC teardown; if not, executable
+    teardown itself). In-process multi-trainer production use would hit
+    the same corruption — keep trainers one-per-process until closed.
     """
     gc.collect()
     yield
