@@ -506,6 +506,7 @@ class DetectorServer:
         t_job = time.perf_counter()
         put_s = exec_s = 0.0
         put_series: list = []
+        exec_series: list = []
         state = {"qemb": None, "qmask": None}
 
         def _assemble(lo):
@@ -526,6 +527,9 @@ class DetectorServer:
             return dev
 
         def _exec_timed(dev):
+            # The FIRST exec of a cold server carries the remote compile
+            # (~4 min on the relay) — exec_series lets callers separate it
+            # from the steady per-batch rate.
             nonlocal exec_s
             t0 = time.perf_counter()
             if queries is not None:
@@ -533,7 +537,10 @@ class DetectorServer:
                     self._params, dev, state["qemb"], state["qmask"]))
             else:
                 out = jax.block_until_ready(self._serve(self._params, dev))
-            exec_s += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            exec_s += dt
+            if len(exec_series) < 512:
+                exec_series.append(round(dt * 1e3, 1))
             return out
 
         def _setup_queries():
@@ -616,6 +623,7 @@ class DetectorServer:
             b["last_first_fetch_secs"] = round(first_fetch_s, 3)
             b["last_job_secs"] = round(time.perf_counter() - t_job, 3)
             b["last_put_series_ms"] = put_series
+            b["last_exec_series_ms"] = exec_series
             b["last_stage_first"] = stage_first
         return results
 

@@ -511,8 +511,16 @@ class Trainer:
         # graph. Costs one extra dispatch. OWLVIT_SPLIT_GATHER=0 restores
         # the fused step.
         self.pool_gather = jax.jit(pool_gather)
+        # auto: split for deep models — the monolithic pool-gather step at
+        # L/14 (2 GB pool argument beside the 24-layer tail grads) faults
+        # the r5-era relay deterministically (3/3, bench_cached.py:131)
+        # where it measured fine in r3; at B/16 split vs fused is noise
+        # (381.2 vs 381.7 img/s, BENCH.md r5). OWLVIT_SPLIT_GATHER=0/1
+        # forces either structure.
+        _sg = os.environ.get("OWLVIT_SPLIT_GATHER", "auto")
         self._split_gather = (
-            os.environ.get("OWLVIT_SPLIT_GATHER", "0") == "1"
+            self.model_cfg.vision.num_layers > 12 if _sg == "auto"
+            else _sg == "1"
         )
         self._cache_qdt = qdt
 
@@ -928,6 +936,11 @@ class Trainer:
             getattr(self, "act_store", None) == "device"
             and self._epoch_step_cached is not None
             and self._acts_filled.all()
+            # the composed epoch step carries the whole act pool through
+            # the tail-grad program — the exact structure split routing
+            # exists to avoid (r5-era L/14 fault); fall back to per-batch
+            # split steps when split is active
+            and not self._split_gather
         )
 
     def _run_epoch_device(self, epoch) -> dict:

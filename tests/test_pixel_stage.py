@@ -115,3 +115,25 @@ def test_yaml_bool_coerces_to_on_off(tmp_path):
 def test_bad_stage_value_raises(tmp_path):
     with pytest.raises(ValueError, match="stage_pixels"):
         _run(tmp_path, "bad", "sometimes")
+
+
+def test_split_gather_routing_and_equivalence(tmp_path, monkeypatch):
+    """Split-gather auto routing (r5): fused for <=12-layer models (split
+    vs fused measured as noise at B/16), split for deep models where the
+    monolithic pool-carrying step faults the r5-era relay (BENCH.md). The
+    two structures compute identical math; forcing split must reproduce
+    the fused run's params exactly, and the composed device-epoch cached
+    step (which is monolithic by construction) must stand down."""
+    t_fused, m_fused, log_fused = _run(
+        tmp_path, "fused", "on", cache_backbone=True)
+    assert t_fused._split_gather is False  # tiny = 2 layers -> auto fused
+    monkeypatch.setenv("OWLVIT_SPLIT_GATHER", "1")
+    t_split, m_split, log_split = _run(
+        tmp_path, "split", "on", cache_backbone=True)
+    assert t_split._split_gather is True
+    assert t_split._epoch_device_ready() is False  # no monolithic epoch step
+    _assert_identical(log_fused, log_split, m_fused, m_split)
+    np.testing.assert_array_equal(
+        np.asarray(t_fused.state.trainable["queries"]),
+        np.asarray(t_split.state.trainable["queries"]),
+    )
