@@ -354,7 +354,7 @@ def _static_max_env(dtype=None):
     per-row max; unset -> C=_STATIC_MAX_DEFAULT for non-fp32 kernels (the
     fp32 path keeps the max-shifted form: it exists for strict-parity runs).
     Parity is checked on chip by tools/tpu_kernel_parity.py. See the
-    _STATIC_MAX_DEFAULT comment before changing C from 0.0."""
+    _STATIC_MAX_DEFAULT comment before changing C."""
     v = _os.environ.get("OWLVIT_STATIC_MAX", "")
     if v.lower() in ("off", "dynamic"):
         return None
