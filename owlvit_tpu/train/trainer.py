@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Optional
 
 import jax
@@ -848,8 +849,6 @@ class Trainer:
     def _ensure_staged_train(self):
         if self._pix_train is not None or not self._stage_on:
             return
-        import time
-
         t0 = time.perf_counter()
         n = len(self.train_ds)
         pool = self._stage_fill_pixels(self.train_ds, n)
@@ -1234,6 +1233,7 @@ class Trainer:
         profiling = None
         for epoch in range(t.n_epochs):
             acc.reset()
+            ep_t0 = time.perf_counter()
             if self._epoch_device_ready() and not (
                 t.profile_dir and epoch == 0  # profiling needs per-step hooks
             ):
@@ -1310,6 +1310,13 @@ class Trainer:
                 # (the tiny GT pools stay: cached epochs gather them)
                 self._pix_train.pop("image", None)
 
+            # training wall for this epoch (pre-eval): every path above is
+            # host-blocked by its final terms fetch, so this is honest.
+            # The console table rounds to seconds — steady cached epochs are
+            # sub-second, so the JSONL row is the measurable record.
+            epoch_train_secs = time.perf_counter() - ep_t0
+            epoch_imgs = (len(self.train_ds) // t.batch_size) * t.batch_size
+
             train_metrics = acc.means()
             run_eval = (
                 (epoch + 1) % max(1, t.eval_every_epochs) == 0
@@ -1340,6 +1347,9 @@ class Trainer:
             if logger:
                 logger.log(
                     dict(epoch=epoch, step=int(self.state.step),
+                         epoch_train_secs=round(epoch_train_secs, 4),
+                         train_imgs_per_sec=round(
+                             epoch_imgs / max(epoch_train_secs, 1e-9), 2),
                          **{f"train_{k}": v for k, v in train_metrics.items()},
                          **{f"val_{k}": v for k, v in val_metrics.items()
                             if not k.endswith("per_class")})

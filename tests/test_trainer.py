@@ -81,6 +81,12 @@ def test_train_runs_and_logs(trained):
     with open(os.path.join(root, "metrics.jsonl")) as f:
         lines = f.read().strip().split("\n")
     assert len(lines) == 2  # one record per epoch
+    for line in lines:
+        rec = json.loads(line)
+        # precise epoch wall + throughput (the console table rounds to
+        # seconds; sub-second cached epochs are only measurable here)
+        assert rec["epoch_train_secs"] > 0
+        assert rec["train_imgs_per_sec"] > 0
 
 
 def test_checkpoint_resume(trained):
