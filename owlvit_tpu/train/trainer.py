@@ -1347,8 +1347,11 @@ class Trainer:
             if logger:
                 logger.log(
                     dict(epoch=epoch, step=int(self.state.step),
+                         # note: NOT train_-prefixed — several equivalence
+                         # tests compare all train_* keys across runs, and
+                         # wall-clock fields must stay out of that set
                          epoch_train_secs=round(epoch_train_secs, 4),
-                         train_imgs_per_sec=round(
+                         epoch_imgs_per_sec=round(
                              epoch_imgs / max(epoch_train_secs, 1e-9), 2),
                          **{f"train_{k}": v for k, v in train_metrics.items()},
                          **{f"val_{k}": v for k, v in val_metrics.items()

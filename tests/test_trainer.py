@@ -86,7 +86,7 @@ def test_train_runs_and_logs(trained):
         # precise epoch wall + throughput (the console table rounds to
         # seconds; sub-second cached epochs are only measurable here)
         assert rec["epoch_train_secs"] > 0
-        assert rec["train_imgs_per_sec"] > 0
+        assert rec["epoch_imgs_per_sec"] > 0
 
 
 def test_checkpoint_resume(trained):
