@@ -197,7 +197,7 @@ def main():
         # resident + split-gather pass; the trainer prefers split anyway.
         # BENCH_POOL_GATHER=0/1 overrides either way.
         pool_gather = os.environ.get(
-            "BENCH_POOL_GATHER", "0" if model == "l14" else "1") == "1"
+            "BENCH_POOL_GATHER", "0" if is_l14 else "1") == "1"
         c = measure_cached_steady_state(model, batch, n_steps,
                                         pool_gather=pool_gather)
         assert np.isfinite(c["loss"])

@@ -19,6 +19,29 @@ import json
 import sys
 
 
+def _build_tokenizer(cfg, mcfg, *, fallback: bool):
+    """The one place CLI commands build a text tokenizer: the CLIP BPE from
+    `model.clip_vocab/clip_merges` when the assets exist; otherwise either
+    None (caller disables free-text queries) or, with fallback=True, the
+    deterministic HashTokenizer plus a stderr warning — its embeddings are
+    meaningless for a real checkpoint."""
+    from owlvit_tpu.data.tokenizer import CLIPTokenizer, HashTokenizer
+
+    if cfg.model.clip_vocab:
+        return CLIPTokenizer(cfg.model.clip_vocab, cfg.model.clip_merges,
+                             max_len=mcfg.text.max_len)
+    if not fallback:
+        return None
+    print(
+        "warning: model.clip_vocab is not set — free-text queries are "
+        "encoded by the FALLBACK HashTokenizer, so the text embeddings "
+        "(and the resulting detections) are meaningless for a real "
+        "checkpoint. Fetch the CLIP BPE assets (scripts/fetch_assets.py) "
+        "and set model.clip_vocab/clip_merges.", file=sys.stderr, flush=True,
+    )
+    return HashTokenizer(mcfg.text.vocab_size, max_len=mcfg.text.max_len)
+
+
 def _cmd_train(args):
     from owlvit_tpu.train import Trainer
     from owlvit_tpu.utils.config import load_config
@@ -89,21 +112,7 @@ def _cmd_infer(args):
     px = normalize_image(jnp.asarray(arr[None]))
 
     if args.queries:  # zero-shot: free-text conditioning
-        from owlvit_tpu.data.tokenizer import CLIPTokenizer, HashTokenizer
-
-        if cfg.model.clip_vocab:
-            tok = CLIPTokenizer(cfg.model.clip_vocab, cfg.model.clip_merges,
-                                max_len=mcfg.text.max_len)
-        else:
-            print(
-                "warning: model.clip_vocab is not set — free-text queries "
-                "are encoded by the FALLBACK HashTokenizer, so the text "
-                "embeddings (and every detection below) are meaningless "
-                "for a real checkpoint. Fetch the CLIP BPE assets "
-                "(scripts/fetch_assets.py) and set model.clip_vocab/"
-                "clip_merges.", file=sys.stderr, flush=True,
-            )
-            tok = HashTokenizer(mcfg.text.vocab_size, max_len=mcfg.text.max_len)
+        tok = _build_tokenizer(cfg, mcfg, fallback=True)
         enc = tok(args.queries)
         boxes_j, logits = owlvit.forward_zero_shot(
             params, mcfg, px, jnp.asarray(enc["input_ids"]),
@@ -211,12 +220,9 @@ def _cmd_serve(args):
     trainer = Trainer(cfg, workdir=args.workdir)
     params = combine_params(trainer.state.trainable, trainer.state.frozen)
     buckets = tuple(int(b) for b in args.buckets.split(","))
-    tok = None
-    if cfg.model.clip_vocab:  # enables ?queries=... zero-shot serving
-        from owlvit_tpu.data.tokenizer import CLIPTokenizer
-
-        tok = CLIPTokenizer(cfg.model.clip_vocab, cfg.model.clip_merges,
-                            max_len=trainer.model_cfg.text.max_len)
+    # no fallback: without real vocab assets the zero-shot lane is disabled
+    # rather than served with meaningless embeddings
+    tok = _build_tokenizer(cfg, trainer.model_cfg, fallback=False)
     server = DetectorServer(
         params, trainer.model_cfg, buckets=buckets,
         max_delay_ms=args.max_delay_ms,
@@ -255,22 +261,6 @@ def _cmd_bulk_infer(args):
     from owlvit_tpu.utils.config import load_config
 
     cfg = load_config(args.config)
-    trainer = Trainer(cfg, workdir=args.workdir)
-    params = combine_params(trainer.state.trainable, trainer.state.frozen)
-    tok = None
-    if args.queries:
-        from owlvit_tpu.data.tokenizer import CLIPTokenizer, HashTokenizer
-
-        if cfg.model.clip_vocab:
-            tok = CLIPTokenizer(cfg.model.clip_vocab, cfg.model.clip_merges,
-                                max_len=trainer.model_cfg.text.max_len)
-        else:
-            print("warning: model.clip_vocab unset — queries use the "
-                  "fallback HashTokenizer (meaningless for a real "
-                  "checkpoint; see `infer --queries`)",
-                  file=sys.stderr, flush=True)
-            tok = HashTokenizer(trainer.model_cfg.text.vocab_size,
-                                max_len=trainer.model_cfg.text.max_len)
 
     exts = {".png", ".jpg", ".jpeg", ".bmp", ".webp"}
     paths = sorted(
@@ -280,16 +270,33 @@ def _cmd_bulk_infer(args):
     if not paths:
         print(f"no images in {args.input_dir}", file=sys.stderr)
         return 1
-    # Decode + resize host-side BEFORE any relay traffic: the whole job is
-    # in memory, so the device loop below runs back-to-back put->exec with
-    # zero host stalls between batches.
-    images = [np.asarray(Image.open(p).convert("RGB")) for p in paths]
+    # ORDER MATTERS (the relay's put-flip rules, CLAUDE.md): decode AND
+    # device-stage every pixel FIRST, while the process is pristine — the
+    # Trainer below builds the query bank, whose text-tower remote compile
+    # would otherwise drop the staging puts from ~1.4 GB/s to ~90 MB/s.
+    # get_config alone gives the image size host-side without touching
+    # params or the device.
+    from owlvit_tpu.models import get_config
+    from owlvit_tpu.serve import stage_bulk_images
 
-    # warmup=False + stage_first: every pixel put lands while the process
-    # is pristine (before the serve graph's remote compile / first big
-    # exec / first fetch — any of which can flip the relay into permanent
-    # ~30 MB/s puts). All job inputs are device-resident at once: ~1.7 MB
-    # per 768px image, so size jobs to HBM (<=~4000 images beside B/16).
+    t0 = time.perf_counter()
+    images = [np.asarray(Image.open(p).convert("RGB")) for p in paths]
+    pre = stage_bulk_images(
+        images, get_config(cfg.model.name).vision.image_size,
+        args.batch_size,
+    )
+    del images  # host copies staged; free before the model builds
+
+    trainer = Trainer(cfg, workdir=args.workdir)
+    params = combine_params(trainer.state.trainable, trainer.state.frozen)
+    tok = (_build_tokenizer(cfg, trainer.model_cfg, fallback=True)
+           if args.queries else None)
+
+    # warmup=False + prestaged: every pixel put landed before the serve
+    # graph's remote compile / first big exec / first fetch — any of which
+    # flips the relay into permanently degraded puts. All job inputs are
+    # device-resident at once: ~1.7 MB per 768px image, so size jobs to
+    # HBM (<=~4000 images beside B/16).
     srv = DetectorServer(
         params, trainer.model_cfg, buckets=(args.batch_size,),
         confidence_threshold=cfg.training.confidence_threshold,
@@ -298,9 +305,7 @@ def _cmd_bulk_infer(args):
         warmup=False, autostart=False, tokenizer=tok,
         max_queries=max(8, len(args.queries or ())),
     )
-    t0 = time.perf_counter()
-    results = srv.bulk_detect(images, queries=args.queries,
-                              stage_first=True)
+    results = srv.bulk_detect(queries=args.queries, prestaged=pre)
     wall = time.perf_counter() - t0
     names = (
         {i: q for i, q in enumerate(args.queries)} if args.queries

@@ -80,6 +80,75 @@ class _Request:
         return self.queries is not None or self.qimage is not None
 
 
+def _size_to_model(image: np.ndarray, S: int, what: str = "image") -> np.ndarray:
+    """Validate + bicubic-resize one RGB uint8 image to the model's square
+    input (the reference's preprocessing protocol — HF image_processing_owlvit
+    square resize, no aspect preservation)."""
+    if image.ndim != 3 or image.shape[-1] != 3:
+        raise ValueError(f"expected [H, W, 3] RGB {what}, got {image.shape}")
+    if image.shape[:2] != (S, S):
+        from PIL import Image
+
+        image = np.asarray(
+            Image.fromarray(np.ascontiguousarray(image, np.uint8))
+            .resize((S, S), Image.BICUBIC), np.uint8,
+        )
+    return np.ascontiguousarray(image, np.uint8)
+
+
+def stage_bulk_images(images, image_size: int, bucket: int) -> dict:
+    """Pre-stage a bulk job's pixels device-resident while the process is
+    PRISTINE — i.e. before ANYTHING compiles, executes a big graph, or
+    fetches. On the TPU relay the first remote compile alone drops H2D puts
+    from ~1.4 GB/s to ~90 MB/s and the first fetch deepens them to
+    ~10-30 MB/s permanently (BENCH.md r5c/r5e), so a CLI/offline job must
+    order: decode -> stage_bulk_images -> build params/query bank (the
+    compiles) -> DetectorServer.bulk_detect(prestaged=...). Single-device
+    puts (mesh servers re-shard at exec; bulk_detect rejects prestaged
+    input on a mesh server).
+
+    Returns an opaque dict for `bulk_detect(prestaged=...)`: flat
+    [bucket, S*S*3] uint8 device batches (each put settled before the next
+    RPC — the r4d degraded-put discipline), original (w, h) per image, and
+    put timings for the job's stats."""
+    images = list(images)
+    S, bucket = int(image_size), int(bucket)
+    sized, whs = [], []
+    for im in images:
+        h, w = im.shape[:2] if im.ndim == 3 else (0, 0)
+        sized.append(_size_to_model(im, S, "image"))
+        whs.append((w, h))
+    put_s, series, staged = 0.0, [], []
+    for lo in range(0, len(sized), bucket):
+        chunk = sized[lo : lo + bucket]
+        flat = np.zeros((bucket, S * S * 3), np.uint8)
+        for i, im in enumerate(chunk):
+            flat[i] = im.reshape(-1)
+        t0 = time.perf_counter()
+        staged.append(jax.block_until_ready(jnp.asarray(flat)))
+        dt = time.perf_counter() - t0
+        put_s += dt
+        if len(series) < 512:
+            series.append(round(dt * 1e3, 1))
+    return {
+        "staged": staged, "whs": whs, "n": len(sized),
+        "bucket": bucket, "image_size": S,
+        "put_secs": put_s, "put_series_ms": series,
+    }
+
+
+def _fail_futures(batch, e: Exception) -> None:
+    """set_exception on every request, tolerating already-cancelled futures
+    (a disconnected client cancels its future; set_exception then raises
+    InvalidStateError — which must never kill the dispatch/completion
+    threads: with _done_q bounded, a dead thread wedges the pipeline)."""
+    for req in batch:
+        try:
+            req.future.set_exception(e)
+        except Exception:  # noqa: BLE001 — cancelled/already-resolved
+            continue
+
+
 class DetectorServer:
     """Dynamically batched detection server over a jitted forward+NMS graph.
 
@@ -295,8 +364,12 @@ class DetectorServer:
             self._stats["h2d_series_ms"] = []
         self._latency = deque(maxlen=10_000)  # seconds, submit -> result
         # One lock serializes ALL relay RPCs between the dispatch thread and
-        # bulk_detect callers (per device phase, not per job, so online
-        # traffic interleaves a running bulk job at batch granularity).
+        # bulk_detect callers. Granularity is per device PHASE: a bulk job's
+        # exec and fetch passes release it between batches (online traffic
+        # interleaves there), but its stage_first put loop is ONE critical
+        # section — interleaved online work fetches, and any fetch mid-
+        # staging would flip the process out of fast-put mode and defeat
+        # the staging entirely (see bulk_detect's docstring).
         self._relay_lock = threading.Lock()
         self._stop = threading.Event()
         self._threads: list = []
@@ -353,17 +426,7 @@ class DetectorServer:
     # --------------------------------------------------------------- clients
 
     def _model_sized(self, image: np.ndarray, what: str) -> np.ndarray:
-        if image.ndim != 3 or image.shape[-1] != 3:
-            raise ValueError(f"expected [H, W, 3] RGB {what}, got {image.shape}")
-        S = self.image_size
-        if image.shape[:2] != (S, S):
-            from PIL import Image
-
-            image = np.asarray(
-                Image.fromarray(np.ascontiguousarray(image, np.uint8))
-                .resize((S, S), Image.BICUBIC), np.uint8,
-            )
-        return np.ascontiguousarray(image, np.uint8)
+        return _size_to_model(image, self.image_size, what)
 
     def submit(self, image: np.ndarray, queries=None,
                query_image: np.ndarray | None = None) -> Future:
@@ -430,8 +493,9 @@ class DetectorServer:
             image, queries=queries, query_image=query_image
         ).result(timeout=timeout)
 
-    def bulk_detect(self, images, queries=None,
-                    stage_first: bool = False) -> list:
+    def bulk_detect(self, images=None, queries=None,
+                    stage_first: bool = False, prestaged: dict | None = None,
+                    ) -> list:
         """Fetch-DEFERRED offline/batch inference over a list of images.
 
         Runs every batch put -> exec on the caller's thread and keeps each
@@ -474,15 +538,43 @@ class DetectorServer:
             effect construct the server with warmup=False and make this
             job's call the process's first device work.
 
+        prestaged : output of `stage_bulk_images`, for callers whose
+            process must compile things (e.g. a query-bank build) between
+            image decode and the job — staging through that helper FIRST
+            keeps every pixel put in pristine-process fast mode regardless
+            of what compiles afterwards (cli bulk-infer does this).
+            Mutually exclusive with `images`; single-device servers only.
+
         Returns a list of result dicts (same schema as `detect`) in input
-        order. Thread-safe with online traffic at batch granularity via
-        the relay lock — but note any concurrent online FETCH flips the
-        process out of fast-put mode, so run big bulk jobs on a quiet
-        server for full speed.
+        order. Locking: the job's exec/fetch passes release the relay lock
+        between batches (online traffic interleaves there), but the
+        stage_first put loop is ONE critical section — online work fetches,
+        and a fetch mid-staging would flip the process out of fast-put mode
+        and defeat the staging. Online requests therefore block for the
+        whole staging phase of a stage_first job; run big bulk jobs on a
+        quiet server.
         """
-        images = list(images)
-        if not images:
-            return []
+        if prestaged is not None:
+            if images is not None:
+                raise ValueError("pass images OR prestaged, not both")
+            if self.mesh is not None:
+                raise ValueError(
+                    "prestaged input is single-device; mesh servers must "
+                    "pass images directly"
+                )
+            if (prestaged["bucket"] != self.buckets[-1]
+                    or prestaged["image_size"] != self.image_size):
+                raise ValueError(
+                    f"prestaged for bucket={prestaged['bucket']} "
+                    f"S={prestaged['image_size']}; this server serves "
+                    f"bucket={self.buckets[-1]} S={self.image_size}"
+                )
+            if not prestaged["n"]:
+                return []
+        else:
+            images = list(images)
+            if not images:
+                return []
         if queries is not None:
             if self._tok is None:
                 raise ValueError(
@@ -497,15 +589,24 @@ class DetectorServer:
             queries = tuple(str(q) for q in queries)
         bucket = self.buckets[-1]
         S = self.image_size
-        sized, whs = [], []
-        for im in images:
-            h, w = im.shape[:2] if im.ndim == 3 else (0, 0)
-            sized.append(self._model_sized(im, "image"))
-            whs.append((w, h))
+        if prestaged is not None:
+            sized, whs, n_imgs = None, prestaged["whs"], prestaged["n"]
+        else:
+            sized, whs = [], []
+            for im in images:
+                h, w = im.shape[:2] if im.ndim == 3 else (0, 0)
+                sized.append(self._model_sized(im, "image"))
+                whs.append((w, h))
+            n_imgs = len(sized)
 
         t_job = time.perf_counter()
-        put_s = exec_s = 0.0
-        put_series: list = []
+        # prestaged puts happened before this call — fold their cost into
+        # the job's put accounting
+        put_s = prestaged["put_secs"] if prestaged is not None else 0.0
+        exec_s = 0.0
+        put_series: list = (
+            list(prestaged["put_series_ms"]) if prestaged is not None else []
+        )
         exec_series: list = []
         state = {"qemb": None, "qmask": None}
 
@@ -568,9 +669,20 @@ class DetectorServer:
             mask[:, : len(queries)] = 1  # tiny (KBs) put
             state["qmask"] = jax.block_until_ready(self._put(mask))
 
-        offsets = range(0, len(sized), bucket)
+        offsets = range(0, n_imgs, bucket)
         device_out: list = []  # [bucket, K*7] f32 per batch, ON DEVICE
-        if stage_first:
+        if prestaged is not None:
+            # pixels are already device-resident (staged by the caller
+            # before anything compiled); exec over them directly
+            staged = list(prestaged["staged"])
+            with self._relay_lock:
+                _setup_queries()
+            for bi in range(len(staged)):
+                with self._relay_lock:
+                    device_out.append(_exec_timed(staged[bi]))
+                staged[bi] = None  # free the input slot's HBM
+            prestaged["staged"] = []  # job consumed its inputs
+        elif stage_first:
             # ALL H2D first, while the process is pristine (no compile,
             # no big exec, no fetch has happened yet if the caller set the
             # server up for it) — then compiles/execs, then the fetch pass.
@@ -604,7 +716,7 @@ class DetectorServer:
                 if first_fetch_s is None:
                     first_fetch_s = time.perf_counter() - tf0
             packed = packed.reshape(bucket, self._top_k, 7)
-            for i in range(min(bucket, len(sized) - bi * bucket)):
+            for i in range(min(bucket, n_imgs - bi * bucket)):
                 results.append(self._unpack_row(
                     packed[i], whs[bi * bucket + i], queries))
         fetch_s = time.perf_counter() - t_f
@@ -615,7 +727,7 @@ class DetectorServer:
                 "put_secs": 0.0, "exec_secs": 0.0, "fetch_secs": 0.0,
             })
             b["jobs"] += 1
-            b["images"] += len(sized)
+            b["images"] += n_imgs
             b["batches"] += len(device_out)
             b["put_secs"] += round(put_s, 3)
             b["exec_secs"] += round(exec_s, 3)
@@ -624,7 +736,9 @@ class DetectorServer:
             b["last_job_secs"] = round(time.perf_counter() - t_job, 3)
             b["last_put_series_ms"] = put_series
             b["last_exec_series_ms"] = exec_series
-            b["last_stage_first"] = stage_first
+            b["last_stage_first"] = (
+                "prestaged" if prestaged is not None else stage_first
+            )
         return results
 
     def stats(self) -> dict:
@@ -716,8 +830,7 @@ class DetectorServer:
                     except Exception as e:  # noqa: BLE001 — device/compile
                         # failure must reach the waiting clients, not hang
                         # their futures forever
-                        for req in batch:
-                            req.future.set_exception(e)
+                        _fail_futures(batch, e)
                         continue
                     self._fetch(out, batch)
         self._done_q.put(None)
@@ -733,8 +846,7 @@ class DetectorServer:
                 packed = np.asarray(out)
         except Exception as e:  # noqa: BLE001 — a device failure can still
             # surface at the fetch RPC; fail the batch's futures
-            for req in batch:
-                req.future.set_exception(e)
+            _fail_futures(batch, e)
             return
         if self._debug_phases:
             with self._lock:
@@ -861,10 +973,19 @@ class DetectorServer:
             now = time.perf_counter()
             packed = packed.reshape(packed.shape[0], self._top_k, 7)
             for i, req in enumerate(batch):
-                req.future.set_result(self._unpack_row(
+                res = self._unpack_row(
                     packed[i], req.orig_wh, req.queries,
                     one_shot=req.qimage is not None,
-                ))
+                )
+                try:
+                    req.future.set_result(res)
+                except Exception:
+                    # a disconnected client cancels its future; set_result
+                    # then raises InvalidStateError. One dead request must
+                    # not kill this thread — with _done_q bounded, a dead
+                    # completion loop would back-pressure _fetch and wedge
+                    # the dispatch thread (= the whole server)
+                    continue
             with self._lock:
                 self._stats["requests"] += len(batch)
                 self._latency.extend(now - r.t_enqueue for r in batch)

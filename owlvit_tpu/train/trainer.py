@@ -735,11 +735,25 @@ class Trainer:
                 return
 
         mesh = self.mesh
-        if mesh is not None:
+        if mesh is not None and self._shard_aligned_order():
             from owlvit_tpu.parallel import local_gather
 
             def gather_rows(pool, idxs):
                 return local_gather(pool, idxs, mesh)
+        elif mesh is not None:
+            # plain-shuffle order (uncached, or a disk act store): the
+            # sampler is NOT shard-aligned here (see _shard_aligned_order),
+            # and local_gather's rank-local addressing would silently read
+            # wrong rows — use the global GSPMD gather, constrained to the
+            # batch-axis sharding so the train step sees exactly the layout
+            # a streamed put produces (staged == streamed bitwise)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            def gather_rows(pool, idxs):
+                sh = NamedSharding(
+                    mesh, PartitionSpec("data", *([None] * (pool.ndim - 1)))
+                )
+                return jax.lax.with_sharding_constraint(pool[idxs], sh)
         else:
 
             def gather_rows(pool, idxs):
@@ -885,14 +899,28 @@ class Trainer:
         n_pad = ((n + dp - 1) // dp) * dp  # rows shard evenly; pads unused
         self._pix_test = self._stage_fill_pixels(self.test_ds, n_pad)
 
+    def _shard_aligned_order(self) -> bool:
+        """One condition for BOTH the staged and streamed samplers: the
+        shard-aligned batch order exists for rank-local gathers into the
+        dp-sharded device ACT pool; everywhere else the plain per-epoch
+        shuffle keeps two stronger invariants — staged == streamed AND
+        dp == single-device — trajectory-identical (mesh+uncached staged
+        pays cross-shard pixel gathers, which GSPMD handles)."""
+        t = self.cfg.training
+        return (
+            self.mesh is not None
+            and t.cache_backbone
+            and getattr(self, "act_store", None) == "device"
+        )
+
     def _staged_index_matrix(self, epoch) -> np.ndarray:
         """[steps_per_epoch, batch_size] int32 — the epoch's batch order,
         identical to what batch_iterator + the streamed path would run
         (plain per-epoch shuffle, ragged remainder dropped; shard-aligned
-        layout on a mesh)."""
+        layout only where the streamed path uses it too)."""
         t = self.cfg.training
         n = len(self.train_ds)
-        if self.mesh is not None:
+        if self._shard_aligned_order():
             from owlvit_tpu.parallel import shard_aligned_batches
 
             rows = list(shard_aligned_batches(
@@ -930,7 +958,12 @@ class Trainer:
             return False
         t = self.cfg.training
         if not t.cache_backbone:
-            return True
+            # same deep-model routing as _split_gather: the uncached epoch
+            # step carries the multi-GB pixel pool through a grad-bearing
+            # program — the structure class that faults the r5-era relay at
+            # L/14 (2 GB pool arg beside 24-layer tail grads, 3/3); deep
+            # models run the per-batch split gathers instead
+            return self.model_cfg.vision.num_layers <= 12
         return (
             getattr(self, "act_store", None) == "device"
             and self._epoch_step_cached is not None
@@ -1250,11 +1283,7 @@ class Trainer:
                     batches = self._with_cached_acts(batches)
             else:
                 index_batches = None
-                if (
-                    t.cache_backbone
-                    and self.mesh is not None
-                    and self.act_store == "device"
-                ):
+                if self._shard_aligned_order():
                     # keep gathers/scatters into the sharded pool rank-local
                     from owlvit_tpu.parallel import shard_aligned_batches
 

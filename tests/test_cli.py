@@ -73,3 +73,35 @@ def test_infer_modes(workdir, capsys):
               "--query-image", img, "--top", "3"])
     out = capsys.readouterr().out
     assert "query-object" in out or out == ""  # may be empty below threshold
+
+
+def test_bulk_infer(workdir, capsys):
+    """cli bulk-infer: the prestaged offline path (pixels device-staged
+    BEFORE the Trainer's query-bank build — the relay put-flip ordering)
+    writes {filename: detections} for every image in the dir."""
+    root, cfg_path = workdir
+    out_path = os.path.join(root, "bulk.json")
+    cli.main(["bulk-infer", "--config", cfg_path, "--workdir", root,
+              "--input-dir", f"{root}/synth/images", "--out", out_path,
+              "--batch-size", "4"])
+    text = capsys.readouterr().out
+    assert "img/s" in text
+    with open(out_path) as f:
+        out = json.load(f)
+    n_imgs = len(os.listdir(f"{root}/synth/images"))
+    assert len(out) == n_imgs
+    rec = next(iter(out.values()))
+    assert {"boxes", "scores", "classes", "labels"} <= set(rec)
+
+
+def test_bulk_infer_zero_shot(workdir, capsys):
+    root, cfg_path = workdir
+    out_path = os.path.join(root, "bulk_zs.json")
+    cli.main(["bulk-infer", "--config", cfg_path, "--workdir", root,
+              "--input-dir", f"{root}/synth/images", "--out", out_path,
+              "--batch-size", "4", "--queries", "a red rectangle"])
+    capsys.readouterr()
+    with open(out_path) as f:
+        out = json.load(f)
+    for rec in out.values():
+        assert all(lb == "a red rectangle" for lb in rec["labels"])

@@ -427,6 +427,32 @@ def test_fetch_failure_fails_futures(detector):
         assert "boxes" in ok
 
 
+def test_cancelled_future_does_not_kill_server(detector):
+    """A disconnected client cancels its future (the HTTP frontend wraps it
+    in asyncio); set_result/set_exception on it raises InvalidStateError.
+    Neither the completion thread nor the dispatch thread may die — with
+    _done_q bounded, a dead completion loop back-pressures _fetch and wedges
+    dispatch (= the whole server)."""
+    params, cfg = detector
+    S = cfg.vision.image_size
+    imgs = _rand_images(4, S)
+    with DetectorServer(params, cfg, buckets=(1,), max_delay_ms=1,
+                        top_k=8, warmup=True, max_inflight=1) as srv:
+        # cancel more batches than _done_q can hold (maxsize=1): if the
+        # completion thread died on the first InvalidStateError, the queue
+        # fills and dispatch wedges before the live request below
+        for img in imgs[:3]:
+            srv.submit(img).cancel()
+        # the exception path too: a cancelled future + injected fault
+        real_serve = srv._serve
+        srv._serve = lambda p, x: (_ for _ in ()).throw(
+            RuntimeError("injected"))
+        srv.submit(imgs[3]).cancel()
+        srv._serve = real_serve
+        ok = srv.submit(imgs[0]).result(timeout=60)
+        assert "boxes" in ok  # both threads survived
+
+
 def test_text_and_image_queries_share_a_batch(detector):
     """A zero-shot request and a one-shot request ride the SAME
     query-conditioned batch (per-request qemb rows), each resolving to its
@@ -612,6 +638,36 @@ def test_bulk_detect_stage_first_matches(detector):
     assert st["bulk"]["last_stage_first"] is True
 
 
+def test_bulk_detect_prestaged_matches(detector):
+    """stage_bulk_images + bulk_detect(prestaged=...) — the cli bulk-infer
+    shape, where pixels are staged BEFORE the query bank/model compiles —
+    is a pure reordering: identical results to passing images directly,
+    on both lanes; put accounting carries the pre-stage timings."""
+    from owlvit_tpu.serve import stage_bulk_images
+
+    params, cfg = detector
+    S = cfg.vision.image_size
+    images = _rand_images(5, S, seed=29)
+    tok = _hash_tok(cfg)
+    with DetectorServer(params, cfg, buckets=(2,), max_delay_ms=5,
+                        top_k=16, warmup=False, autostart=False,
+                        tokenizer=tok, max_queries=2) as srv:
+        plain = srv.bulk_detect(list(images))
+        pre = stage_bulk_images(list(images), S, 2)
+        assert pre["n"] == 5 and len(pre["staged"]) == 3
+        staged = srv.bulk_detect(prestaged=pre)
+        assert pre["staged"] == []  # inputs freed as the job consumed them
+        pre_zs = stage_bulk_images(list(images), S, 2)
+        zs_plain = srv.bulk_detect(list(images), queries=["thing"])
+        zs_staged = srv.bulk_detect(prestaged=pre_zs, queries=["thing"])
+        st = srv.stats()
+    for a, b in zip(plain + zs_plain, staged + zs_staged):
+        np.testing.assert_array_equal(a["boxes"], b["boxes"])
+        np.testing.assert_array_equal(a["scores"], b["scores"])
+        np.testing.assert_array_equal(a["classes"], b["classes"])
+    assert st["bulk"]["last_stage_first"] == "prestaged"
+
+
 def test_bulk_detect_guards(detector):
     """Empty job -> []; queries without a tokenizer -> ValueError."""
     params, cfg = detector
@@ -621,3 +677,22 @@ def test_bulk_detect_guards(detector):
     S = cfg.vision.image_size
     with pytest.raises(ValueError, match="tokenizer"):
         srv.bulk_detect([_rand_images(1, S)[0]], queries=["thing"])
+
+
+def test_bulk_detect_prestaged_guards(detector):
+    """prestaged is mutually exclusive with images and must match the
+    server's bucket/image size."""
+    from owlvit_tpu.serve import stage_bulk_images
+
+    params, cfg = detector
+    S = cfg.vision.image_size
+    imgs = list(_rand_images(2, S))
+    srv = DetectorServer(params, cfg, buckets=(1,), warmup=False,
+                         autostart=False)
+    pre = stage_bulk_images(imgs, S, 1)
+    with pytest.raises(ValueError, match="not both"):
+        srv.bulk_detect(imgs, prestaged=pre)
+    wrong_bucket = stage_bulk_images(imgs, S, 2)
+    with pytest.raises(ValueError, match="bucket"):
+        srv.bulk_detect(prestaged=wrong_bucket)
+    assert srv.bulk_detect(prestaged=stage_bulk_images([], S, 1)) == []

@@ -199,16 +199,27 @@ def test_mesh_staged_pixels_matches_streamed(tmp_path):
                         )
 
 
-def test_mesh_staged_uncached_runs(tmp_path):
+def test_mesh_staged_uncached_matches_streamed(tmp_path):
     """stage_pixels=on, no cache, dp4: the full step trains from sharded
-    pixel-pool gathers (shard-aligned order differs from plain shuffle, so
-    just pin finiteness + step count)."""
-    t = Trainer(
-        _cfg(str(tmp_path), mesh_data=4, stage_pixels="on"),
-        workdir=str(tmp_path),
+    pixel-pool gathers. Since r5g both samplers share ONE order condition
+    (_shard_aligned_order: aligned only for the cached device act pool), so
+    mesh+uncached staged uses the same plain shuffle as streamed — the two
+    trajectories must be identical, not merely finite (and dp remains
+    trajectory-identical to single-device, pinned elsewhere)."""
+    t_on = Trainer(
+        _cfg(str(tmp_path / "on"), mesh_data=4, stage_pixels="on"),
+        workdir=str(tmp_path / "on"),
     )
-    assert t._stage_on
-    metrics = t.run()
-    assert int(t.state.step) == 4
-    assert np.isfinite(metrics["map"])
-    assert t._pix_train["image"].sharding.spec[0] == "data"
+    assert t_on._stage_on
+    m_on = t_on.run()
+    assert int(t_on.state.step) == 4
+    assert np.isfinite(m_on["map"])
+    assert t_on._pix_train["image"].sharding.spec[0] == "data"
+    t_off = Trainer(
+        _cfg(str(tmp_path / "off"), mesh_data=4, stage_pixels="off"),
+        workdir=str(tmp_path / "off"),
+    )
+    assert not t_off._stage_on
+    m_off = t_off.run()
+    np.testing.assert_array_equal(_queries(t_off), _queries(t_on))
+    assert float(m_off["map"]) == float(m_on["map"])

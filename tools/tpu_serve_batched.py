@@ -164,13 +164,15 @@ try:
                 n_bulk / (bst["put_secs"] + bst["exec_secs"]), 2),
             # exec[0] of a cold server carries the ~4 min remote compile;
             # the steady rate is the deployable number for a warm process.
+            # Built from exec_secs (the FULL total), not the series sum —
+            # the series caps at 512 entries, and a >512-batch job summed
+            # from it would overstate the rate ~2x.
             "steady_imgs_per_sec": round(n_bulk / (
-                bst["put_secs"] + bst["fetch_secs"]
-                + sum(bst["last_exec_series_ms"][1:]) / 1e3
-                + (bst["last_exec_series_ms"][0] / 1e3
-                   if len(bst["last_exec_series_ms"]) < 2 else
-                   min(bst["last_exec_series_ms"][0],
-                       bst["last_exec_series_ms"][1]) / 1e3)), 2)
+                bst["put_secs"] + bst["fetch_secs"] + bst["exec_secs"]
+                - bst["last_exec_series_ms"][0] / 1e3
+                + (min(bst["last_exec_series_ms"][:2])
+                   if len(bst["last_exec_series_ms"]) > 1
+                   else bst["last_exec_series_ms"][0]) / 1e3), 2)
             if bst.get("last_exec_series_ms") else None,
             "mean_dets": round(
                 sum(len(r["boxes"]) for r in res) / n_bulk, 1),
