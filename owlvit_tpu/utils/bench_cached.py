@@ -108,6 +108,12 @@ def measure_cached_steady_state(
         state, loss = tstep(state, acts, la, bo, gm)
     jax.block_until_ready(loss)
     tail_ips = steps * batch / (time.perf_counter() - t0)
+    # settle the loss value NOW: relay faults cascade within a process, and
+    # a fault in a LATER phase would otherwise poison this phase's already-
+    # measured result at the final fetch (r5g L/14: the split phase faulted
+    # inside its try, then float(loss) at return died — losing the clean
+    # resident-tail number)
+    loss_val = float(loss)
 
     # Device-store steady state (trainer.tail_step_gather): acts for a pool
     # of images live in HBM; each step gathers its batch rows. Zeros pool +
@@ -139,6 +145,7 @@ def measure_cached_steady_state(
             state, loss = gstep(state, acts_all, idxs, la, bo, gm)
         jax.block_until_ready(loss)
         gather_ips = steps * batch / (time.perf_counter() - t0)
+        loss_val = float(loss)
 
     # SPLIT gather: the batch gather runs as its OWN tiny program and the
     # tail step takes the gathered acts as a direct arg. Rationale: the
@@ -158,15 +165,20 @@ def measure_cached_steady_state(
             state, loss = tstep(state, acts_g, la, bo, gm)
         jax.block_until_ready(loss)
         split_ips = round(steps * batch / (time.perf_counter() - t0), 2)
-    except Exception:  # noqa: BLE001 - keep the proven numbers on a fault
+        loss_val = float(loss)
+    except Exception as e:  # noqa: BLE001 - keep the proven numbers on a
+        # fault, but SAY which phase died and how (r5g: a silent except
+        # here cost the diagnosis of the first L/14 split fault)
         split_ips = None
+        print(f"bench_cached: split-gather phase faulted: "
+              f"{type(e).__name__}: {e}", flush=True)
 
     return {
         "tail_imgs_per_sec": round(tail_ips, 2),
         "gather_imgs_per_sec":
             round(gather_ips, 2) if gather_ips is not None else None,
         "split_gather_imgs_per_sec": split_ips,
-        "loss": float(loss),
+        "loss": loss_val,
         "acts_mb": round(acts_mb, 1),
         "pool_imgs": int(pool),
     }
