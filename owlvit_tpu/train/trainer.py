@@ -347,22 +347,7 @@ class Trainer:
             px = normalize_image(unflatten_images(images))
             eval_cfg = mcfg.replace(trainable_last_k=None)
             boxes, sims = owlvit.forward_train(params, eval_cfg, px)
-            out = nms_ops.postprocess(
-                boxes, sims,
-                confidence_threshold=t.confidence_threshold,
-                iou_threshold=t.iou_threshold,
-                top_k=t.top_k,
-            )
-            # Pack into ONE [B, K, 7] f32 tensor -> one device->host fetch
-            # per eval batch (four separate fetches each pay a relay RPC;
-            # same wire protocol as serve.py). Class ids and the 0/1 valid
-            # flag are exact in f32.
-            return jnp.concatenate([
-                out["boxes"],
-                out["scores"][..., None],
-                out["classes"].astype(jnp.float32)[..., None],
-                out["valid"].astype(jnp.float32)[..., None],
-            ], axis=-1)
+            return self._postprocess_pack(boxes, sims)
 
         self.train_step = jax.jit(train_step, donate_argnums=(0,))
         self.eval_step = jax.jit(eval_step)
@@ -404,6 +389,44 @@ class Trainer:
             + (" | pixels pre-staged on device" if self._stage_on else ""),
             flush=True,
         )
+
+    def _postprocess_pack(self, boxes, sims):
+        """postprocess + pack into ONE [B, K, 7] f32 tensor (xyxy boxes,
+        score, class id, valid flag) -> one device->host fetch per eval
+        batch (four separate fetches each pay a relay RPC; same wire
+        protocol as serve.py — class ids and the 0/1 flag are exact in
+        f32). The ONE implementation shared by the jitted eval_step and the
+        deployment-parity infer_fn path (`cli eval --from-export`), so
+        in-training eval and served-artifact eval can never desynchronize."""
+        t = self.cfg.training
+        out = nms_ops.postprocess(
+            boxes, sims,
+            confidence_threshold=t.confidence_threshold,
+            iou_threshold=t.iou_threshold, top_k=t.top_k,
+        )
+        return jnp.concatenate([
+            out["boxes"],
+            out["scores"][..., None],
+            out["classes"].astype(jnp.float32)[..., None],
+            out["valid"].astype(jnp.float32)[..., None],
+        ], axis=-1)
+
+    def _act_pool_bytes(self, rows: int, qdt) -> float:
+        """Device act-pool size: BLOCK_Q-padded token count x hidden size x
+        element payload (bf16/f32, or int8 + one f32 scale per token). The
+        ONE implementation — both the store auto-pick (_setup_act_cache)
+        and the pixel-stage HBM-fit budget (_setup_pixel_stage) must agree,
+        or staging could be enabled for a pool that OOMs during epoch 1."""
+        from owlvit_tpu.ops.flash_attention import BLOCK_Q
+
+        mcfg = self.model_cfg
+        S = mcfg.vision.num_patches + 1
+        if owlvit._attn_impl(mcfg) == "flash":
+            S = ((S + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
+        elt = 2.0 if mcfg.dtype == "bfloat16" else 4.0
+        if qdt == "int8":  # int8 payload + one f32 scale per token
+            elt = 1 + 4.0 / mcfg.vision.hidden_size
+        return rows * S * mcfg.vision.hidden_size * elt
 
     def _setup_act_cache(self):
         from owlvit_tpu.data.act_cache import ActivationCache, fingerprint
@@ -547,17 +570,8 @@ class Trainer:
                 f"by mesh_data={t.mesh_data} -> disk store", flush=True,
             )
         if store == "auto":
-            # flash pads tokens to the query-block multiple (vit._pad_for_flash)
-            from owlvit_tpu.ops.flash_attention import BLOCK_Q
-
-            S = mcfg.vision.num_patches + 1
-            if owlvit._attn_impl(mcfg) == "flash":
-                S = ((S + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
-            elt = 2 if mcfg.dtype == "bfloat16" else 4
-            if qdt == "int8":  # int8 payload + one f32 scale per token
-                elt = 1 + 4.0 / mcfg.vision.hidden_size
             rows = (2 if self._hflip else 1) * len(self.train_ds)
-            total = rows * S * mcfg.vision.hidden_size * elt
+            total = self._act_pool_bytes(rows, qdt)
             # 10 GB leaves ~5 GB of v5e HBM for params/opt/activations; the
             # reference recipe (2500 imgs, B/16 bf16: 9.34 GB) fits on-device.
             store = "device" if total <= 10e9 else "disk"
@@ -710,15 +724,7 @@ class Trainer:
             t.cache_backbone
             and getattr(self, "act_store", None) == "device"
         ):
-            from owlvit_tpu.ops.flash_attention import BLOCK_Q
-
-            Sp = self.model_cfg.vision.num_patches + 1
-            if owlvit._attn_impl(self.model_cfg) == "flash":
-                Sp = ((Sp + BLOCK_Q - 1) // BLOCK_Q) * BLOCK_Q
-            elt = 2.0 if self.model_cfg.dtype == "bfloat16" else 4.0
-            if self._cache_qdt == "int8":
-                elt = 1 + 4.0 / self.model_cfg.vision.hidden_size
-            act_bytes = self._pool_rows * Sp * self.model_cfg.vision.hidden_size * elt
+            act_bytes = self._act_pool_bytes(self._pool_rows, self._cache_qdt)
         if mode == "auto":
             # pixels coexist with the activation pool only during epoch 1
             # (the pixel pool is freed once every act row is filled); 14 GB
@@ -838,7 +844,7 @@ class Trainer:
         """Decode the whole set and fill a [n_rows, S*S*3] uint8 device pool
         in <=64 MB settled puts (single transfers up to 128 MB are safe on
         the relay; every put AND the scatter exec settle before the next RPC
-        — BENCH.md r4d). Returns (pixel_pool, samples_without_images)."""
+        — BENCH.md r4d). Returns the pixel pool device array."""
         S = self.model_cfg.vision.image_size
         n = len(ds)
         rowb = S * S * 3
@@ -898,6 +904,19 @@ class Trainer:
         dp = self.cfg.training.mesh_data if self.mesh is not None else 1
         n_pad = ((n + dp - 1) // dp) * dp  # rows shard evenly; pads unused
         self._pix_test = self._stage_fill_pixels(self.test_ds, n_pad)
+
+    def _steps_per_epoch_micro(self) -> int:
+        """Train batches (micro-steps) per epoch for the ACTIVE sampler:
+        the shard-aligned sampler drops the per-shard ragged remainder,
+        the plain shuffle the global one. state.step advances by exactly
+        this much per epoch (grad_accum does not change it — MultiSteps
+        counts micro-steps too), which is what resume arithmetic needs."""
+        t = self.cfg.training
+        n = len(self.train_ds)
+        if self._shard_aligned_order():
+            dp = t.mesh_data
+            return max(1, (n // dp) // max(1, t.batch_size // dp))
+        return max(1, n // t.batch_size)
 
     def _shard_aligned_order(self) -> bool:
         """One condition for BOTH the staged and streamed samplers: the
@@ -1050,7 +1069,11 @@ class Trainer:
             batch.pop("indices", None)
             if self._hflip:
                 n = batch["labels"].shape[0]
-                batch["flip"] = jnp.asarray(self._sample_flips(n))
+                # settle EVERY put before the exec dispatch (r4d relay rule:
+                # an RPC over an in-flight put can flip the process into
+                # permanent degraded-put mode; tiny puts settle in ~ms)
+                batch["flip"] = jax.block_until_ready(
+                    jnp.asarray(self._sample_flips(n)))
             self.state, terms = self.train_step(self.state, batch)
             return terms
         idxs = np.asarray(batch.pop("indices"))
@@ -1060,7 +1083,7 @@ class Trainer:
         if self._hflip:
             flip_np = self._sample_flips(len(idxs))
             rows = 2 * idxs + flip_np.astype(np.int64)
-            flip = jnp.asarray(flip_np)
+            flip = jax.block_until_ready(jnp.asarray(flip_np))  # r4d rule
 
         if self.act_store == "device":
             if not self._acts_filled[rows].all():
@@ -1076,18 +1099,22 @@ class Trainer:
                         self.state.trainable, self.state.frozen,
                         batch["image"], True,
                     )
+                    # settled index puts before each scatter exec (r4d)
+                    r0 = jax.block_until_ready(jnp.asarray(2 * idxs))
+                    r1 = jax.block_until_ready(jnp.asarray(2 * idxs + 1))
                     self._acts_dev = self.scatter_acts(
-                        self._acts_dev, jnp.asarray(2 * idxs), acts
+                        self._acts_dev, r0, acts
                     )
                     self._acts_dev = self.scatter_acts(
-                        self._acts_dev, jnp.asarray(2 * idxs + 1), acts_f
+                        self._acts_dev, r1, acts_f
                     )
                     self._acts_filled[2 * idxs] = True
                     self._acts_filled[2 * idxs + 1] = True
                     # fall through to the gather path: both rows now filled
                 else:
                     self._acts_dev = self.scatter_acts(
-                        self._acts_dev, jnp.asarray(idxs), acts
+                        self._acts_dev,
+                        jax.block_until_ready(jnp.asarray(idxs)), acts
                     )
                     self._acts_filled[idxs] = True
                     # acts already in hand — skip the gather
@@ -1095,7 +1122,7 @@ class Trainer:
                         self.state, acts, *args, None
                     )
                     return terms
-            jidx = jnp.asarray(rows)
+            jidx = jax.block_until_ready(jnp.asarray(rows))  # r4d rule
             if self._split_gather:
                 acts = self.pool_gather(self._acts_dev, jidx)
                 self.state, terms = self.tail_step(
@@ -1109,7 +1136,9 @@ class Trainer:
 
         # disk store
         if "acts" in batch:  # cache hit resolved on the host side
-            acts = batch["acts"]
+            # explicit settled put (r4d rule) — passing host numpy straight
+            # into the jitted tail would transfer it inside the exec dispatch
+            acts = jax.block_until_ready(jnp.asarray(batch["acts"]))
         else:
             acts = self.prefix_step(
                 self.state.trainable, self.state.frozen, batch["image"]
@@ -1263,8 +1292,30 @@ class Trainer:
         if self._stage_on:
             self._ensure_staged_train()
 
+        # Resume semantics: a restored checkpoint at step k*spe means k
+        # epochs are DONE — continue to n_epochs total, don't retrain from
+        # epoch 0 (which would also replay the per-epoch shuffle seeds and
+        # run the restored cosine schedule entirely in its decayed tail).
+        # _batches_done picks up the global micro-step count so the EMA
+        # accumulation-boundary gate stays aligned with MultiSteps' restored
+        # inner counter and the hflip Philox stream continues where it left.
+        spe = self._steps_per_epoch_micro()
+        start_epoch = min(int(self.state.step) // spe, t.n_epochs)
+        self._batches_done = int(self.state.step)
+        if start_epoch:
+            print(
+                f"resume: {start_epoch}/{t.n_epochs} epoch(s) already "
+                f"complete at step {int(self.state.step)} — "
+                + ("nothing left to train; running eval"
+                   if start_epoch >= t.n_epochs else
+                   f"continuing from epoch {start_epoch}"),
+                flush=True,
+            )
+        if start_epoch >= t.n_epochs:
+            last_val = self.evaluate(epoch=t.n_epochs - 1)
+
         profiling = None
-        for epoch in range(t.n_epochs):
+        for epoch in range(start_epoch, t.n_epochs):
             acc.reset()
             ep_t0 = time.perf_counter()
             if self._epoch_device_ready() and not (
@@ -1391,7 +1442,11 @@ class Trainer:
                 if run_eval:
                     tb.scalars(val_metrics, epoch, prefix="val/")
                 tb.flush()
-            if t.checkpoint_dir and (epoch + 1) % t.checkpoint_every_epochs == 0:
+            if (
+                t.checkpoint_dir
+                and t.checkpoint_every_epochs > 0  # 0 = periodic saves off
+                and (epoch + 1) % t.checkpoint_every_epochs == 0
+            ):
                 path = ckpt.save(t.checkpoint_dir, self.state)
                 if self.ema is not None:
                     ckpt.save_tree(
@@ -1464,22 +1519,10 @@ class Trainer:
             S_img = self.model_cfg.vision.image_size
 
             @jax.jit
-            def _pack(boxes, sims):
-                out = nms_ops.postprocess(
-                    boxes, sims,
-                    confidence_threshold=t.confidence_threshold,
-                    iou_threshold=t.iou_threshold, top_k=t.top_k,
-                )
-                return jnp.concatenate([
-                    out["boxes"], out["scores"][..., None],
-                    out["classes"].astype(jnp.float32)[..., None],
-                    out["valid"].astype(jnp.float32)[..., None],
-                ], axis=-1)
-
             def packed_fn(images):
                 if images.ndim == 2:  # loader's flat wire -> artifact's 4-D
                     images = images.reshape(-1, S_img, S_img, 3)
-                return _pack(*infer_fn(images))
+                return self._postprocess_pack(*infer_fn(images))
 
         detections = [] if save_detections else None
         img_idx = 0

@@ -426,3 +426,62 @@ def test_eval_through_exported_artifact(trained):
             np.asarray(direct[k]), np.asarray(via_export[k]),
             atol=1e-8, err_msg=k,
         )
+
+
+def test_resume_of_complete_run_trains_nothing(trained):
+    """run() on a fully-trained checkpoint must not retrain from epoch 0
+    (the pre-r5g behavior): n_epochs are already done, so it evaluates and
+    returns with the step unchanged."""
+    root, cfg, trainer, _ = trained
+    t2 = Trainer(cfg, workdir=root)
+    assert int(t2.state.step) == 4
+    metrics = t2.run()
+    assert int(t2.state.step) == 4  # zero additional training
+    assert "map" in metrics
+
+
+def test_resume_continues_to_total_epochs(trained):
+    """Raising n_epochs on a restored run continues from the completed
+    epoch: 2 epochs (4 steps) done -> n_epochs=3 trains exactly ONE more
+    epoch (2 steps), and _batches_done resumes from the global step so the
+    EMA/hflip counters stay aligned with the restored optimizer state.
+
+    NOTE: keep this LAST among the `trained`-fixture tests — it advances
+    the shared checkpoint to step 6."""
+    import dataclasses
+
+    root, cfg, trainer, _ = trained
+    cfg3 = dataclasses.replace(
+        cfg, training=dataclasses.replace(cfg.training, n_epochs=3)
+    )
+    t2 = Trainer(cfg3, workdir=root)
+    assert int(t2.state.step) == 4
+    assert t2._batches_done == 0  # set at run() start, from the state
+    t2.run()
+    assert int(t2.state.step) == 6  # one more epoch, not three
+    assert t2._batches_done == 6
+
+
+def test_checkpoint_every_epochs_zero_disables_periodic(tmp_path):
+    """checkpoint_every_epochs=0 means 'no periodic saves' — it must not
+    ZeroDivisionError at the first epoch boundary."""
+    root = str(tmp_path)
+    cfg = Config(
+        data=DataConfig(
+            synthetic_root=os.path.join(root, "synth"),
+            num_train_images=4, num_test_images=2, max_gt=8,
+            synthetic_classes=2,
+        ),
+        training=TrainingConfig(
+            n_epochs=1, batch_size=4, top_k=8,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            checkpoint_every_epochs=0, log_file=None,
+        ),
+        model=ModelConfig(name="tiny", trainable_last_k=1),
+    )
+    t = Trainer(cfg, workdir=root)
+    t.run()
+    steps = [d for d in os.listdir(os.path.join(root, "ckpt"))
+             if d.startswith("step_")] if os.path.isdir(
+        os.path.join(root, "ckpt")) else []
+    assert steps == []  # no periodic checkpoint written
