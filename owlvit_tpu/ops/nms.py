@@ -150,3 +150,22 @@ def postprocess(
         }
 
     return jax.vmap(per_image)(pred_boxes.astype(jnp.float32), scores, classes)
+
+
+def pack_detections(out: dict) -> jnp.ndarray:
+    """postprocess() output -> ONE [B, K, 7] f32 tensor
+    (xyxy boxes, score, class id, 0/1 valid flag).
+
+    THE wire/pack format for detections everywhere a batch crosses
+    device->host: serving (`serve._serve`/`_serve_zs`, reshaped flat to
+    [B, K*7] — one fetch per batch, one relay RPC), in-training eval and
+    the deployment-parity export path (`trainer._postprocess_pack`).
+    Class ids (<= C << 2^24) and the valid flag are exact in f32. Keep a
+    single implementation: a field added or reordered here is the ONLY
+    place the layout can change, and every _unpack site reads K*7."""
+    return jnp.concatenate([
+        out["boxes"],
+        out["scores"][..., None],
+        out["classes"].astype(jnp.float32)[..., None],
+        out["valid"].astype(jnp.float32)[..., None],
+    ], axis=-1)

@@ -96,6 +96,17 @@ def _size_to_model(image: np.ndarray, S: int, what: str = "image") -> np.ndarray
     return np.ascontiguousarray(image, np.uint8)
 
 
+def _flatten_bucket(chunk, bucket: int, S: int) -> np.ndarray:
+    """Pack <=bucket model-sized images into ONE flat [bucket, S*S*3] uint8
+    block (zero-padded) — the unpadded relay wire format. The single
+    implementation behind both bulk_detect's in-job assembly and
+    stage_bulk_images' pre-staging, so the layouts can never diverge."""
+    flat = np.zeros((bucket, S * S * 3), np.uint8)
+    for i, im in enumerate(chunk):
+        flat[i] = im.reshape(-1)
+    return flat
+
+
 def stage_bulk_images(images, image_size: int, bucket: int) -> dict:
     """Pre-stage a bulk job's pixels device-resident while the process is
     PRISTINE — i.e. before ANYTHING compiles, executes a big graph, or
@@ -120,10 +131,7 @@ def stage_bulk_images(images, image_size: int, bucket: int) -> dict:
         whs.append((w, h))
     put_s, series, staged = 0.0, [], []
     for lo in range(0, len(sized), bucket):
-        chunk = sized[lo : lo + bucket]
-        flat = np.zeros((bucket, S * S * 3), np.uint8)
-        for i, im in enumerate(chunk):
-            flat[i] = im.reshape(-1)
+        flat = _flatten_bucket(sized[lo : lo + bucket], bucket, S)
         t0 = time.perf_counter()
         staged.append(jax.block_until_ready(jnp.asarray(flat)))
         dt = time.perf_counter() - t0
@@ -204,7 +212,8 @@ class DetectorServer:
         mesh=None,
         max_queue: int = 1024,
     ):
-        if list(buckets) != sorted(set(buckets)) or buckets[0] < 1:
+        if (not buckets or list(buckets) != sorted(set(buckets))
+                or buckets[0] < 1):
             raise ValueError(f"buckets must be ascending unique >=1: {buckets}")
         # serving = pure fwd. k=0 (not None): the all-frozen path runs the
         # whole encoder under stop_gradient, which licenses the fwd-only
@@ -266,14 +275,8 @@ class DetectorServer:
             )
             # One packed f32 tensor -> ONE device->host fetch per batch
             # (three separate fetches each pay a full relay round trip).
-            # Class ids (<= C << 2^24) and the 0/1 valid flag are exact in f32.
-            packed = jnp.concatenate([
-                out["boxes"],
-                out["scores"][..., None],
-                out["classes"].astype(jnp.float32)[..., None],
-                out["valid"].astype(jnp.float32)[..., None],
-            ], axis=-1)  # [B, K, 7]
-            return packed.reshape(b, -1)
+            # the shared [B, K, 7] pack (ops/nms.py::pack_detections)
+            return nms_ops.pack_detections(out).reshape(b, -1)
 
         S = self.image_size
         self._top_k = top_k
@@ -293,8 +296,14 @@ class DetectorServer:
         self._tok = tokenizer
         self._one_shot = bool(one_shot)
         self._max_queries = int(max_queries)
+        # Bounded host caches (FIFO eviction): open HTTP traffic can send an
+        # unbounded stream of DISTINCT query strings / exemplar digests, and
+        # an uncapped dict would grow host memory forever — the same
+        # unbounded-growth class max_queue exists to prevent. 4096 entries
+        # ≈ a few MB; steady query sets stay fully cached.
         self._text_cache: dict = {}
         self._qimg_cache: dict = {}
+        self._cache_cap = 4096
         self._serve_zs = None
         if tokenizer is not None or one_shot:
             proj = cfg.projection_dim
@@ -324,13 +333,7 @@ class DetectorServer:
                     boxes, sims, confidence_threshold=confidence_threshold,
                     iou_threshold=iou_threshold, top_k=top_k,
                 )
-                packed = jnp.concatenate([
-                    out["boxes"],
-                    out["scores"][..., None],
-                    out["classes"].astype(jnp.float32)[..., None],
-                    out["valid"].astype(jnp.float32)[..., None],
-                ], axis=-1)
-                return packed.reshape(b, -1)
+                return nms_ops.pack_detections(out).reshape(b, -1)
 
             self._serve_zs = jax.jit(_serve_zs)
             self._proj = proj
@@ -416,6 +419,19 @@ class DetectorServer:
         for t in self._threads:
             t.join(timeout=30)
         self._threads = []
+        # Fail any request that raced past the submit() closed-check into
+        # the queue after the None sentinel — its future would otherwise
+        # hang the client forever (the dispatch loop has exited).
+        stranded = []
+        try:
+            while True:
+                item = self._q.get_nowait()
+                if item is not None:
+                    stranded.append(item)
+        except queue.Empty:
+            pass
+        if stranded:
+            _fail_futures(stranded, RuntimeError("DetectorServer closed"))
 
     def __enter__(self):
         return self
@@ -427,6 +443,14 @@ class DetectorServer:
 
     def _model_sized(self, image: np.ndarray, what: str) -> np.ndarray:
         return _size_to_model(image, self.image_size, what)
+
+    def _cache_put(self, cache: dict, key, value) -> None:
+        """Insert with FIFO eviction at _cache_cap (dicts iterate in
+        insertion order). Steady traffic over a fixed query/exemplar set
+        never evicts; an adversarial stream of distinct keys stays bounded."""
+        if len(cache) >= self._cache_cap:
+            cache.pop(next(iter(cache)))
+        cache[key] = value
 
     def submit(self, image: np.ndarray, queries=None,
                query_image: np.ndarray | None = None) -> Future:
@@ -449,6 +473,16 @@ class DetectorServer:
         (`classes` are all 0, `labels` all "query-object"). Requires
         `one_shot=True`. Mutually exclusive with `queries`.
         """
+        # admission + liveness checks FIRST: a shed or post-close request
+        # must not pay the bicubic resize / sha1 below (load-shedding should
+        # protect host CPU too, and a closed server's dispatch loop would
+        # never resolve the future — the client would hang forever)
+        if self._stop.is_set():
+            raise RuntimeError("DetectorServer is closed")
+        if self._q.qsize() >= self._max_queue:
+            raise ServerOverloaded(
+                f"request queue at max_queue={self._max_queue}; retry later"
+            )
         if queries is not None and query_image is not None:
             raise ValueError("pass queries OR query_image, not both")
         if queries is not None:
@@ -477,10 +511,6 @@ class DetectorServer:
             qdigest = hashlib.sha1(query_image.tobytes()).hexdigest()
         h, w = image.shape[:2] if image.ndim == 3 else (0, 0)
         image = self._model_sized(image, "image")
-        if self._q.qsize() >= self._max_queue:
-            raise ServerOverloaded(
-                f"request queue at max_queue={self._max_queue}; retry later"
-            )
         req = _Request(image, (w, h), queries, query_image, qdigest)
         self._q.put(req)
         return req.future
@@ -572,6 +602,8 @@ class DetectorServer:
             if not prestaged["n"]:
                 return []
         else:
+            if images is None:
+                raise ValueError("bulk_detect needs images or prestaged")
             images = list(images)
             if not images:
                 return []
@@ -611,11 +643,7 @@ class DetectorServer:
         state = {"qemb": None, "qmask": None}
 
         def _assemble(lo):
-            chunk = sized[lo : lo + bucket]
-            flat = np.zeros((bucket, S * S * 3), np.uint8)
-            for i, im in enumerate(chunk):
-                flat[i] = im.reshape(-1)
-            return flat
+            return _flatten_bucket(sized[lo : lo + bucket], bucket, S)
 
         def _put_timed(flat):
             nonlocal put_s
@@ -675,13 +703,14 @@ class DetectorServer:
             # pixels are already device-resident (staged by the caller
             # before anything compiled); exec over them directly
             staged = list(prestaged["staged"])
+            prestaged["staged"] = []  # this copy now OWNS the refs, so the
+            # per-slot None below actually frees HBM as the job consumes it
             with self._relay_lock:
                 _setup_queries()
             for bi in range(len(staged)):
                 with self._relay_lock:
                     device_out.append(_exec_timed(staged[bi]))
                 staged[bi] = None  # free the input slot's HBM
-            prestaged["staged"] = []  # job consumed its inputs
         elif stage_first:
             # ALL H2D first, while the process is pristine (no compile,
             # no big exec, no fetch has happened yet if the caller set the
@@ -869,7 +898,7 @@ class DetectorServer:
                 e = np.asarray(jax.block_until_ready(
                     self._encode_text(self._params, ids, am)
                 ))[0]
-                self._text_cache[q] = e
+                self._cache_put(self._text_cache, q, e)
             out.append(e)
         return np.stack(out)
 
@@ -887,21 +916,27 @@ class DetectorServer:
         if is_zs:
             qemb = np.zeros((bucket, self._max_queries, self._proj), np.float32)
             qmask = np.zeros((bucket, self._max_queries), np.int32)
-            for i, req in enumerate(batch):
-                if req.queries is not None:
-                    e = self._embed_queries(req.queries)
-                else:  # one-shot: exemplar embedding, cached by digest
-                    e = self._qimg_cache.get(req.qdigest)
-                    if e is None:
-                        qdev = jax.block_until_ready(
-                            jnp.asarray(req.qimage.reshape(1, -1)))
-                        e = np.asarray(jax.block_until_ready(
-                            self._embed_qimage(self._params, qdev)
-                        ))
-                        self._qimg_cache[req.qdigest] = e
-                    e = e[None]  # [1, proj]
-                qemb[i, : len(e)] = e
-                qmask[i, : len(e)] = 1
+            # The embedding paths below are RELAY RPCs (puts, a compile-
+            # bearing exec on a cache miss, and a d2h fetch) — they must
+            # hold the relay lock like every other device phase, or a
+            # concurrent stage_first bulk job's staging puts race a FETCH
+            # (the permanent put-flip trigger the lock exists to prevent)
+            with self._relay_lock:
+                for i, req in enumerate(batch):
+                    if req.queries is not None:
+                        e = self._embed_queries(req.queries)
+                    else:  # one-shot: exemplar embedding, cached by digest
+                        e = self._qimg_cache.get(req.qdigest)
+                        if e is None:
+                            qdev = jax.block_until_ready(
+                                jnp.asarray(req.qimage.reshape(1, -1)))
+                            e = np.asarray(jax.block_until_ready(
+                                self._embed_qimage(self._params, qdev)
+                            ))
+                            self._cache_put(self._qimg_cache, req.qdigest, e)
+                        e = e[None]  # [1, proj]
+                    qemb[i, : len(e)] = e
+                    qmask[i, : len(e)] = 1
             call = lambda dev: self._serve_zs(  # noqa: E731
                 self._params, dev,
                 jax.block_until_ready(self._put(qemb)),

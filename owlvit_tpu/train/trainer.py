@@ -404,12 +404,7 @@ class Trainer:
             confidence_threshold=t.confidence_threshold,
             iou_threshold=t.iou_threshold, top_k=t.top_k,
         )
-        return jnp.concatenate([
-            out["boxes"],
-            out["scores"][..., None],
-            out["classes"].astype(jnp.float32)[..., None],
-            out["valid"].astype(jnp.float32)[..., None],
-        ], axis=-1)
+        return nms_ops.pack_detections(out)
 
     def _act_pool_bytes(self, rows: int, qdt) -> float:
         """Device act-pool size: BLOCK_Q-padded token count x hidden size x

@@ -696,3 +696,51 @@ def test_bulk_detect_prestaged_guards(detector):
     with pytest.raises(ValueError, match="bucket"):
         srv.bulk_detect(prestaged=wrong_bucket)
     assert srv.bulk_detect(prestaged=stage_bulk_images([], S, 1)) == []
+
+
+def test_submit_after_close_raises(detector):
+    """A closed server must refuse new work (instead of stranding a future
+    the exited dispatch loop will never resolve), and any request that
+    raced into the queue behind the close sentinel gets FAILED, not hung."""
+    params, cfg = detector
+    S = cfg.vision.image_size
+    img = _rand_images(1, S)[0]
+    srv = DetectorServer(params, cfg, buckets=(1,), max_delay_ms=1,
+                         top_k=8, warmup=False)
+    srv.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        srv.submit(img)
+    # simulate the race: a request that slipped in while close() ran
+    from owlvit_tpu.serve import _Request
+    req = _Request(img, (S, S))
+    srv._q.put(req)
+    srv.close()  # second close drains and fails stragglers
+    with pytest.raises(RuntimeError, match="closed"):
+        req.future.result(timeout=5)
+
+
+def test_text_cache_bounded(detector):
+    """The zero-shot text cache evicts FIFO at _cache_cap — unbounded
+    distinct-query traffic must not grow host memory forever."""
+    params, cfg = detector
+    srv = DetectorServer(params, cfg, buckets=(1,), warmup=False,
+                         autostart=False, tokenizer=_hash_tok(cfg))
+    srv._cache_cap = 4
+    for i in range(10):
+        srv._embed_queries((f"query {i}",))
+    assert len(srv._text_cache) == 4
+    assert "query 9" in srv._text_cache and "query 0" not in srv._text_cache
+
+
+def test_empty_buckets_rejected(detector):
+    params, cfg = detector
+    with pytest.raises(ValueError, match="buckets"):
+        DetectorServer(params, cfg, buckets=())
+
+
+def test_bulk_detect_no_input_raises(detector):
+    params, cfg = detector
+    srv = DetectorServer(params, cfg, buckets=(1,), warmup=False,
+                         autostart=False)
+    with pytest.raises(ValueError, match="images or prestaged"):
+        srv.bulk_detect(queries=None)
