@@ -35,6 +35,10 @@ def build_batch(cfg, batch, n_classes, seed=0):
     }
 
 
+class _SkipSplit(Exception):
+    pass
+
+
 def measure_cached_steady_state(
     model: str,
     batch: int,
@@ -47,6 +51,7 @@ def measure_cached_steady_state(
     pool_bytes: float = 2e9,
     max_pool_rows: int = 2500,
     pool_gather: bool = True,
+    split_gather: bool = True,
 ) -> dict:
     """Returns dict(tail_imgs_per_sec, gather_imgs_per_sec, loss, acts_mb,
     pool_imgs)."""
@@ -152,8 +157,16 @@ def measure_cached_steady_state(
     # gather itself is ~0.1 ms (r3 gatherprobe), so the ~6 ms
     # gather-vs-resident delta is the tail graph paying for CARRYING the
     # 2 GB pool argument; confining the pool to a one-op program trades
-    # that for one extra dispatch.
+    # that for one extra dispatch. split_gather=False skips the phase
+    # entirely: at L/14 this standalone loop faults the r5-era relay (2/2,
+    # r5h) and poisons the rest of the process — while the TRAINER's split
+    # routing runs the real recipe cleanly (r5h L/14 e2e: 3 epochs, losses
+    # down). A relay-structure sensitivity of this bench loop, not of the
+    # production path.
+    split_ips = None
     try:
+        if not split_gather:
+            raise _SkipSplit
         ggather = jax.jit(lambda pool_, i: pool_[i])
         acts_g = ggather(acts_all, idxs)
         jax.block_until_ready(acts_g)
@@ -166,6 +179,8 @@ def measure_cached_steady_state(
         jax.block_until_ready(loss)
         split_ips = round(steps * batch / (time.perf_counter() - t0), 2)
         loss_val = float(loss)
+    except _SkipSplit:
+        pass
     except Exception as e:  # noqa: BLE001 - keep the proven numbers on a
         # fault, but SAY which phase died and how (r5g: a silent except
         # here cost the diagnosis of the first L/14 split fault)
