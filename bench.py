@@ -188,6 +188,7 @@ def main():
     # sequence proven on chip across r2+r3 sessions).
     cached = None
     cached_resident = None
+    cached_gather = None
     cached_split = None
     errors = []
     if os.environ.get("BENCH_SKIP_CACHED") != "1":
@@ -211,18 +212,21 @@ def main():
                                             split_gather=split_try)
             assert np.isfinite(c["loss"])
             cached_resident = c["tail_imgs_per_sec"]
+            cached_gather = c["gather_imgs_per_sec"]
             cached_split = c.get("split_gather_imgs_per_sec")
             # the trainer routes device-store steady-state steps through
-            # whichever gather structure is faster (split gather confines
-            # the pool argument to a one-op program); headline follows it.
-            # A faulted split phase salvages to resident-only (the r5h L/14
-            # runs: resident passes, the standalone split loop faults).
+            # whichever POOL structure is faster (gather-in-graph vs split
+            # one-op gather); the headline follows it. The resident step
+            # (acts as a direct arg, no pool) is NOT a trainer shape — it
+            # only becomes the headline as a salvage when both pool
+            # structures were skipped/faulted (L/14: bench-only relay
+            # faults; the trainer's own split routing trains L/14 fine).
             cached = max(
-                (v for v in (c["gather_imgs_per_sec"], cached_split,
-                             cached_resident)
-                 if v is not None),
+                (v for v in (cached_gather, cached_split) if v is not None),
                 default=None,
             )
+            if cached is None:
+                cached = cached_resident
         except Exception as e:  # noqa: BLE001 — relay faults cascade; keep
             # whatever later phases can still produce, and say what died
             errors.append(f"cached: {type(e).__name__}: {e}")
@@ -292,6 +296,7 @@ def main():
                     round(cached_resident, 2)
                     if cached_resident is not None else None
                 ),
+                "cached_pool_gather": cached_gather,
                 "cached_split_gather": cached_split,
                 "uncached": round(uncached, 2) if uncached is not None else None,
                 "uncached_vs_baseline": (
