@@ -279,13 +279,49 @@ def _cmd_bulk_infer(args):
     from owlvit_tpu.models import get_config
     from owlvit_tpu.serve import stage_bulk_images
 
+    S = get_config(cfg.model.name).vision.image_size
     t0 = time.perf_counter()
-    images = [np.asarray(Image.open(p).convert("RGB")) for p in paths]
-    pre = stage_bulk_images(
-        images, get_config(cfg.model.name).vision.image_size,
-        args.batch_size,
-    )
-    del images  # host copies staged; free before the model builds
+    # Threaded native decode straight TO MODEL SIZE (the dataset path's
+    # C++ pool, PIL-exact): peak host memory is n × S²×3 model-sized
+    # arrays, never n full-resolution decodes, and an offline job over an
+    # arbitrary directory skips unreadable files instead of dying on the
+    # first truncated JPEG.
+    images, whs, kept, failures = [], [], [], {}
+
+    def _pil_one(p):
+        with Image.open(p) as im:
+            im = im.convert("RGB")
+            w, h = im.size
+            return (np.asarray(im.resize((S, S), Image.BICUBIC), np.uint8),
+                    (w, h))
+
+    from owlvit_tpu import native as native_mod
+
+    res = native_mod.decode_resize_batch([str(p) for p in paths], S)
+    for i, p in enumerate(paths):
+        try:
+            if res is not None and bool(res[2][i]):
+                img = res[0][i]
+                wh = (int(res[1][i, 0]), int(res[1][i, 1]))
+            else:
+                img, wh = _pil_one(p)  # unsupported format / native absent
+        except Exception as e:  # noqa: BLE001 — per-file skip, job survives
+            failures[p.name] = f"{type(e).__name__}: {e}"
+            continue
+        images.append(img)
+        whs.append(wh)
+        kept.append(p)
+    if failures:
+        print(f"warning: skipped {len(failures)} unreadable image(s): "
+              + ", ".join(list(failures)[:5])
+              + ("..." if len(failures) > 5 else ""),
+              file=sys.stderr, flush=True)
+    paths = kept
+    if not paths:
+        print("no decodable images", file=sys.stderr)
+        return 1
+    pre = stage_bulk_images(images, S, args.batch_size, orig_whs=whs)
+    del images, res  # host copies staged; free before the model builds
 
     trainer = Trainer(cfg, workdir=args.workdir)
     params = combine_params(trainer.state.trainable, trainer.state.frozen)
@@ -320,6 +356,8 @@ def _cmd_bulk_infer(args):
             "labels": [names.get(int(c), str(int(c)))
                        for c in r["classes"]],
         }
+    for name, err in failures.items():  # skipped files are reported, not lost
+        out[name] = {"error": err}
     with open(args.out, "w") as f:
         _json.dump(out, f)
     st = srv.stats().get("bulk", {})

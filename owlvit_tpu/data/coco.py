@@ -103,8 +103,25 @@ def build_subset(
             class_names.extend(names[a["label"]] for a in per_image[im["id"]])
 
         counts = OrderedDict(Counter(class_names).most_common())
-        if all(counts.get(n, 0) >= min_class_count for n in names.values()):
+        missing = [n for n in names.values()
+                   if counts.get(n, 0) < min_class_count]
+        if not missing:
             break
+    else:
+        # exhausted max_attempts without full coverage — write the last
+        # subset anyway (matches the reference's best-effort spirit) but
+        # SAY SO: absent classes silently get max class weight downstream
+        # and eval scores them 0
+        import sys
+
+        print(
+            f"warning: subset covers {len(names) - len(missing)}/{len(names)}"
+            f" classes after {max_attempts} attempts — below "
+            f"min_class_count={min_class_count}: {', '.join(missing[:10])}"
+            + ("..." if len(missing) > 10 else "")
+            + ". Increase num_train or lower min_class_count.",
+            file=sys.stderr, flush=True,
+        )
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "train.json"), "w") as f:

@@ -99,10 +99,28 @@ class DetectionDataset:
         base = f"{annotations_file}.cache_{S}"
         arr_path, meta_path = base + ".npy", base + ".json"
         keys = [k for k, _ in self.items]
+        # Image CONTENT identity, not just keys: regenerated synthetic data
+        # (same paths, new pixels), a rewritten file, or a repointed
+        # images_dir must invalidate the cache, or training silently
+        # consumes stale pixels against fresh GT. Per-image (size, mtime)
+        # stat is ~ms for thousands of files — the same validation the act
+        # cache uses (ADVICE r2).
+        def _stamp():
+            out = [os.path.abspath(self.images_dir)]
+            for k in keys:
+                p = os.path.join(self.images_dir, os.path.basename(k))
+                try:
+                    st = os.stat(p)
+                    out.append(f"{st.st_size}:{int(st.st_mtime)}")
+                except OSError:
+                    out.append("missing")
+            return out
+
+        stamp = _stamp()
         if os.path.exists(arr_path) and os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
-            if meta.get("keys") == keys:
+            if meta.get("keys") == keys and meta.get("stamp") == stamp:
                 self._cache = np.lib.format.open_memmap(arr_path, mode="r")
                 self._sizes = np.asarray(meta["sizes"], np.int32)
                 return
@@ -118,7 +136,8 @@ class DetectionDataset:
             sizes[lo : lo + len(sub)] = whs
         cache.flush()
         with open(meta_path, "w") as f:
-            json.dump({"keys": keys, "sizes": sizes.tolist()}, f)
+            json.dump({"keys": keys, "sizes": sizes.tolist(),
+                       "stamp": stamp}, f)
         self._cache = np.lib.format.open_memmap(arr_path, mode="r")
         self._sizes = sizes
         print(f"resized-image cache built: {arr_path} ({N} images)", flush=True)

@@ -86,6 +86,22 @@ def prefetch_to_device(
                 arrays[k] = batch[k]
         return arrays
 
+    # Abandonment-safe puts: if the consumer drops the generator mid-epoch
+    # (a step raised, an early break), a plain blocking q.put would leave
+    # this thread wedged forever holding ~size full image batches in host
+    # memory — a campaign that retries per-epoch leaks a thread + hundreds
+    # of MB per attempt. The producer instead polls a stop flag.
+    stop = threading.Event()
+
+    def _put_or_stop(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for batch in iterator:
@@ -98,17 +114,25 @@ def prefetch_to_device(
                     # reshape on device (trainer train/eval/prefix steps all
                     # accept either rank). See tools/tpu_transfer_probe.py.
                     batch["image"] = img.reshape(img.shape[0], -1)
-                q.put(batch if consumer_put else _transfer(batch))
-            q.put(_SENTINEL)
+                if not _put_or_stop(
+                    batch if consumer_put else _transfer(batch)
+                ):
+                    return  # consumer gone; drop everything and exit
+            _put_or_stop(_SENTINEL)
         except BaseException as exc:  # propagate, never truncate silently
-            q.put((_ERR, exc))
+            _put_or_stop((_ERR, exc))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            return
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
-            raise item[1]
-        yield _transfer(item) if consumer_put else item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                raise item[1]
+            yield _transfer(item) if consumer_put else item
+    finally:
+        # runs on normal exhaustion AND on GeneratorExit/exception in the
+        # consumer — release the producer so it exits instead of wedging
+        stop.set()

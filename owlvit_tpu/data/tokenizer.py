@@ -111,15 +111,7 @@ class CLIPTokenizer:
         return ids
 
     def __call__(self, texts: Sequence[str]) -> dict:
-        N = len(texts)
-        input_ids = np.zeros((N, self.max_len), np.int32)
-        attn = np.zeros((N, self.max_len), np.int32)
-        for i, t in enumerate(texts):
-            ids = self.encode(t)[: self.max_len]
-            ids[-1] = self.eot  # keep EOT last under truncation
-            input_ids[i, : len(ids)] = ids
-            attn[i, : len(ids)] = 1
-        return {"input_ids": input_ids, "attention_mask": attn}
+        return _batch_encode(self.encode, texts, self.max_len, self.eot)
 
 
 class HashTokenizer:
@@ -144,15 +136,22 @@ class HashTokenizer:
         return [self.sot] + [self._word_id(w) for w in words] + [self.eot]
 
     def __call__(self, texts: Sequence[str]) -> dict:
-        N = len(texts)
-        input_ids = np.zeros((N, self.max_len), np.int32)
-        attn = np.zeros((N, self.max_len), np.int32)
-        for i, t in enumerate(texts):
-            ids = self.encode(t)[: self.max_len]
-            ids[-1] = self.eot
-            input_ids[i, : len(ids)] = ids
-            attn[i, : len(ids)] = 1
-        return {"input_ids": input_ids, "attention_mask": attn}
+        return _batch_encode(self.encode, texts, self.max_len, self.eot)
+
+
+def _batch_encode(encode, texts, max_len: int, eot: int) -> dict:
+    """Shared pad/truncate/EOT batching for both tokenizers — ONE place for
+    the truncation rule (EOT stays last) and the attention-mask semantics,
+    so the HashTokenizer fallback can never drift from the real BPE path."""
+    N = len(texts)
+    input_ids = np.zeros((N, max_len), np.int32)
+    attn = np.zeros((N, max_len), np.int32)
+    for i, t in enumerate(texts):
+        ids = encode(t)[:max_len]
+        ids[-1] = eot  # keep EOT last under truncation
+        input_ids[i, : len(ids)] = ids
+        attn[i, : len(ids)] = 1
+    return {"input_ids": input_ids, "attention_mask": attn}
 
 
 def prompt_templates(label: str) -> list:

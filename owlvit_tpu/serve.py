@@ -107,7 +107,8 @@ def _flatten_bucket(chunk, bucket: int, S: int) -> np.ndarray:
     return flat
 
 
-def stage_bulk_images(images, image_size: int, bucket: int) -> dict:
+def stage_bulk_images(images, image_size: int, bucket: int,
+                      orig_whs=None) -> dict:
     """Pre-stage a bulk job's pixels device-resident while the process is
     PRISTINE — i.e. before ANYTHING compiles, executes a big graph, or
     fetches. On the TPU relay the first remote compile alone drops H2D puts
@@ -121,14 +122,23 @@ def stage_bulk_images(images, image_size: int, bucket: int) -> dict:
     Returns an opaque dict for `bulk_detect(prestaged=...)`: flat
     [bucket, S*S*3] uint8 device batches (each put settled before the next
     RPC — the r4d degraded-put discipline), original (w, h) per image, and
-    put timings for the job's stats."""
+    put timings for the job's stats.
+
+    orig_whs: optional [(w, h), ...] of the ORIGINAL images, for callers
+    that decoded+resized to model size upstream (e.g. cli bulk-infer's
+    threaded native decode) — box rescale then uses the real source sizes
+    instead of the already-resized shapes."""
     images = list(images)
     S, bucket = int(image_size), int(bucket)
+    if orig_whs is not None and len(orig_whs) != len(images):
+        raise ValueError(
+            f"orig_whs has {len(orig_whs)} entries for {len(images)} images"
+        )
     sized, whs = [], []
-    for im in images:
+    for j, im in enumerate(images):
         h, w = im.shape[:2] if im.ndim == 3 else (0, 0)
         sized.append(_size_to_model(im, S, "image"))
-        whs.append((w, h))
+        whs.append(tuple(orig_whs[j]) if orig_whs is not None else (w, h))
     put_s, series, staged = 0.0, [], []
     for lo in range(0, len(sized), bucket):
         flat = _flatten_bucket(sized[lo : lo + bucket], bucket, S)

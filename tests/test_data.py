@@ -289,3 +289,60 @@ def test_index_batches_respects_want_image(synth):
     for b, idxs in zip(out, idx_batches):
         assert "image" not in b
         np.testing.assert_array_equal(b["indices"], idxs)
+
+
+def test_cache_resized_invalidates_on_content_change(synth, tmp_path):
+    """Rewritten image CONTENT (same filenames) must invalidate the resized
+    cache — training would otherwise silently consume stale pixels against
+    fresh ground truth (the act cache has validated content since r2; the
+    pixel cache now stamps per-image size+mtime the same way)."""
+    import os
+    import shutil
+    import time
+
+    from PIL import Image
+
+    # isolated copy: this test rewrites files + cache artifacts
+    root = tmp_path / "contentchange"
+    shutil.copytree(os.path.dirname(synth["train"]), root)
+    ann = str(root / os.path.basename(synth["train"]))
+    imgs_dir = str(root / os.path.basename(synth["images_dir"]))
+    ds1 = DetectionDataset(ann, imgs_dir, image_size=96, max_gt=8,
+                           cache_resized=True)
+    first = np.array(ds1[0]["image"])
+    key = ds1.items[0][0]
+    path = os.path.join(imgs_dir, os.path.basename(key))
+    # rewrite with different pixels; nudge mtime past stat resolution
+    Image.new("RGB", Image.open(path).size, (1, 2, 3)).save(path)
+    os.utime(path, (time.time() + 5, time.time() + 5))
+    ds2 = DetectionDataset(ann, imgs_dir, image_size=96, max_gt=8,
+                           cache_resized=True)
+    second = np.array(ds2[0]["image"])
+    assert not np.array_equal(first, second)  # cache rebuilt, new pixels
+    assert (second == np.array([1, 2, 3], np.uint8)).all()
+
+
+def test_prefetch_producer_exits_when_consumer_abandons():
+    """A consumer that drops the generator mid-epoch (step exception, early
+    break) must release the producer thread — a blocking q.put would leak
+    the thread plus queued batches for the life of the process."""
+    import threading
+    import time as _time
+
+    from owlvit_tpu.data.loader import prefetch_to_device
+
+    def gen():
+        for _ in range(1000):
+            yield {"x": np.zeros((8,), np.float32)}
+
+    before = set(threading.enumerate())
+    it = prefetch_to_device(gen(), size=2)
+    next(it)
+    it.close()  # GeneratorExit -> finally -> stop flag
+    deadline = _time.time() + 10
+    while _time.time() < deadline:
+        leaked = [t for t in set(threading.enumerate()) - before if t.is_alive()]
+        if not leaked:
+            break
+        _time.sleep(0.2)
+    assert not leaked, f"producer thread leaked: {leaked}"
