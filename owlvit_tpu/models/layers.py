@@ -107,7 +107,8 @@ def attention(
 
     impl="flash" routes to the Pallas TPU kernel (ops/flash_attention.py);
     "xla" uses a plain einsum softmax that XLA fuses well on any backend.
-    valid_len (flash only): real token count when x is pre-padded.
+    valid_len: real token count when x is pre-padded — masked in BOTH
+    the flash kernels and the XLA softmax (padded keys never attend).
     """
     B, S, D = x.shape
     head_dim = D // num_heads
@@ -151,11 +152,14 @@ def attention(
             scale=scale,
             valid_len=valid_len,
         )
-        return linear(p["out"], o.reshape(B, S, D))
+        return linear(p["out"], o.reshape(B, S, D), quantized)
 
-    q = linear(p["q"], x).reshape(B, S, num_heads, head_dim)
-    k = linear(p["k"], x).reshape(B, S, num_heads, head_dim)
-    v = linear(p["v"], x).reshape(B, S, num_heads, head_dim)
+    # XLA path: same projection treatment as the flash paths — quantized
+    # must quantize here too (or CPU runs of the int8 path would silently
+    # skip projection quantization and diverge structurally from TPU)
+    q = linear(p["q"], x, quantized).reshape(B, S, num_heads, head_dim)
+    k = linear(p["k"], x, quantized).reshape(B, S, num_heads, head_dim)
+    v = linear(p["v"], x, quantized).reshape(B, S, num_heads, head_dim)
 
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
@@ -163,12 +167,22 @@ def attention(
     if causal:
         mask = jnp.tril(jnp.ones((S, S), bool))
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    if valid_len is not None and valid_len < S:
+        # pre-padded inputs (flash-padded activations run through the XLA
+        # path, e.g. a TPU-built activation cache consumed on CPU): padded
+        # rows must not participate as softmax KEYS — the flash kernels
+        # mask them, and silently attending to garbage here corrupted
+        # nothing only by luck of which impl resolved
+        key_ok = jnp.arange(S) < valid_len
+        logits = jnp.where(
+            key_ok[None, None, None, :], logits, jnp.finfo(jnp.float32).min
+        )
     if bias is not None:
         logits = logits + bias.astype(logits.dtype)
     w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
     o = jnp.einsum("bhqk,bkhd->bqhd", w, v)
 
-    return linear(p["out"], o.reshape(B, S, D))
+    return linear(p["out"], o.reshape(B, S, D), quantized)
 
 
 # --------------------------------------------------------------------------

@@ -48,7 +48,7 @@ from .layers import (
 def init(key, cfg: OwlViTConfig, num_queries: Optional[int] = None) -> dict:
     """Random-init full detector params. num_queries adds a query bank
     [num_queries, projection_dim] (fine-tuning path)."""
-    ks = jax.random.split(key, 8)
+    ks = jax.random.split(key, 9)
     D, P = cfg.vision.hidden_size, cfg.projection_dim
     params = {
         "vision": vit.init(ks[0], cfg.vision),
@@ -66,8 +66,10 @@ def init(key, cfg: OwlViTConfig, num_queries: Optional[int] = None) -> dict:
         },
     }
     if num_queries is not None:
+        # ks[8], not the parent key: reusing a split key violates JAX's
+        # no-key-reuse rule (the bank draw would correlate with ks[0..7])
         params["queries"] = (
-            jax.random.normal(key, (num_queries, P), jnp.float32) * 0.02
+            jax.random.normal(ks[8], (num_queries, P), jnp.float32) * 0.02
         )
     return params
 
@@ -97,6 +99,15 @@ def image_embedder(params: dict, cfg: OwlViTConfig, pixel_values: jnp.ndarray):
         quant_backbone=cfg.quant_backbone,
         static_softmax=cfg.static_softmax,
     )
+    return _merge_feats(params, cfg, last_hidden)
+
+
+def _merge_feats(params, cfg: OwlViTConfig, last_hidden) -> jnp.ndarray:
+    """Shared encoder epilogue: post-LN -> CLS*patches fusion -> merged LN
+    (HF OwlViTModel.get_image_features tail). ONE implementation for the
+    full forward (image_embedder) and the cached-prefix tail
+    (forward_train_from_prefix) — their bit-identity contract depends on
+    running literally the same code here."""
     x = layer_norm(params["vision"]["post_ln"], last_hidden, cfg.vision.layer_norm_eps)
     cls, patches = x[:, :1, :], x[:, 1:, :]
     merged = patches * cls
@@ -255,9 +266,7 @@ def forward_train_from_prefix(
         attention_impl=_attn_impl(cfg), remat=cfg.remat,
         trainable_last_k=cfg.trainable_last_k,
     )
-    x = layer_norm(params["vision"]["post_ln"], last_hidden, cfg.vision.layer_norm_eps)
-    cls, patches = x[:, :1, :], x[:, 1:, :]
-    feats = layer_norm(params["merged_ln"], patches * cls, cfg.vision.layer_norm_eps)
+    feats = _merge_feats(params, cfg, last_hidden)
     return box_predictor(params, cfg, feats), class_predictor_querybank(
         params, cfg, feats
     )

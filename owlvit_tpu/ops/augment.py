@@ -63,6 +63,28 @@ def hflip(key, images, boxes, prob: float = 0.5):
     return apply_hflip(images, boxes, flip)
 
 
+def apply_color(images, fb, fc, fs):
+    """Deterministic brightness -> contrast -> saturation composition with
+    per-image [B] (or scalar) factors — torchvision semantics: each op
+    blends on the CURRENT image (the saturation gray is recomputed after
+    contrast; blending toward a stale pre-contrast gray would partially
+    undo the contrast step in the luma channel). Exposed for exact unit
+    tests; `color_jitter` draws the factors."""
+    shape = (-1, 1, 1, 1)
+    fb = jnp.reshape(jnp.asarray(fb, jnp.float32), shape)
+    fc = jnp.reshape(jnp.asarray(fc, jnp.float32), shape)
+    fs = jnp.reshape(jnp.asarray(fs, jnp.float32), shape)
+    x = images * fb
+    # contrast: pull from the per-image gray mean (torchvision semantics)
+    gray = jnp.tensordot(x, _LUMA, axes=[[-1], [0]])  # [B,H,W]
+    mean = gray.mean(axis=(1, 2))[:, None, None, None]
+    x = mean + fc * (x - mean)
+    # saturation: pull toward the CURRENT per-pixel gray
+    gray = jnp.tensordot(x, _LUMA, axes=[[-1], [0]])
+    x = gray[..., None] + fs * (x - gray[..., None])
+    return jnp.clip(x, 0.0, 255.0)
+
+
 def color_jitter(key, images, strength: float):
     """Brightness/contrast/saturation, each scaled by a per-image factor
     drawn from [1-strength, 1+strength]. images float [B,H,W,3] in [0,255]."""
@@ -72,15 +94,8 @@ def color_jitter(key, images, strength: float):
     kb, kc, ks = jax.random.split(key, 3)
     lo, hi = 1.0 - strength, 1.0 + strength
     f = lambda k: jax.random.uniform(  # noqa: E731
-        k, (B, 1, 1, 1), jnp.float32, lo, hi)
-    x = images * f(kb)
-    # contrast: pull from the per-image gray mean (torchvision semantics)
-    gray = jnp.tensordot(x, _LUMA, axes=[[-1], [0]])  # [B,H,W]
-    mean = gray.mean(axis=(1, 2))[:, None, None, None]
-    x = mean + f(kc) * (x - mean)
-    # saturation: pull from the per-pixel gray value
-    x = gray[..., None] + f(ks) * (x - gray[..., None])
-    return jnp.clip(x, 0.0, 255.0)
+        k, (B,), jnp.float32, lo, hi)
+    return apply_color(images, f(kb), f(kc), f(ks))
 
 
 def apply_scale_window(images, boxes, gt_mask, x0, y0, s,

@@ -40,13 +40,17 @@ def nms(
     [N, N] masked reduction outgrows 200 cheap argmax steps), so the scan
     stays the default; see tools/tpu_nms_ab.py.
     """
-    iou, _ = box_ops.pairwise_iou(boxes, boxes)  # [N, N]
+    # only the boolean predicate is consumed — the per-plane form avoids
+    # materializing [..., N, N, 2] lt/rb broadcasts (a trailing size-2 dim
+    # gets 16x tile padding on TPU; the r3 L/14 OOM class — CLAUDE.md) and
+    # skips the [N, N] divide. Boundary-ulp caveat in its docstring.
+    above = box_ops.pairwise_iou_above(boxes, boxes, iou_threshold)  # [N, N]
 
     def step(live_scores, _):
         j = jnp.argmax(live_scores)
         best = live_scores[j]
         valid = best > _NEG_INF
-        suppress = (iou[j] > iou_threshold) | (jnp.arange(boxes.shape[0]) == j)
+        suppress = above[j] | (jnp.arange(boxes.shape[0]) == j)
         live_scores = jnp.where(valid & suppress, _NEG_INF, live_scores)
         return live_scores, (jnp.where(valid, j, -1).astype(jnp.int32), valid)
 
@@ -70,16 +74,17 @@ def nms_fixpoint(
     sequential scans dominate.
     """
     N = boxes.shape[0]
-    iou, _ = box_ops.pairwise_iou(boxes, boxes)  # [N, N]
+    # per-plane predicate (see nms(): avoids the [N, N, 2] broadcast class)
+    above = box_ops.pairwise_iou_above(boxes, boxes, iou_threshold)  # [N, N]
 
     scores = scores.astype(jnp.float32)
     order = jnp.argsort(-scores, stable=True)  # ties -> lower index first
     valid = scores[order] > _NEG_INF
-    iou_s = iou[order][:, order]
+    above_s = above[order][:, order]
     tri = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) < (
         jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
     )  # j (row) strictly before i (col) in score order
-    sup = (iou_s > iou_threshold) & tri & valid[:, None] & valid[None, :]
+    sup = above_s & tri & valid[:, None] & valid[None, :]
 
     def cond(state):
         _, changed, it = state

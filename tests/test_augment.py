@@ -204,3 +204,28 @@ def test_trainer_augment_trains_and_reproduces(tmp_path):
     for k, v in m1.items():
         assert np.isfinite(v), (k, v)
     assert m1 == m2
+
+
+def test_color_compose_semantics():
+    """Contrast and saturation must COMPOSE (torchvision: each op blends on
+    the current image): full desaturation (fs=0) yields the POST-contrast
+    luma, not the pre-contrast one (the r5 fix — a stale gray partially
+    undid contrast in the luma channel)."""
+    from owlvit_tpu.ops.augment import _LUMA, apply_color
+
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 255, (1, 8, 8, 3)).astype(np.float32)
+    fc = 0.5
+    out = np.asarray(apply_color(jnp.asarray(img), 1.0, fc, 0.0))
+    # expected: luma of the contrast-adjusted image, replicated per channel
+    gray = np.tensordot(img, np.asarray(_LUMA), axes=[[-1], [0]])
+    mean = gray.mean()
+    contrasted = mean + fc * (img - mean)
+    want = np.tensordot(contrasted, np.asarray(_LUMA), axes=[[-1], [0]])
+    np.testing.assert_allclose(
+        out, np.clip(want[..., None], 0, 255).repeat(3, -1),
+        rtol=1e-5, atol=1e-3,
+    )
+    # identity factors = identity transform
+    ident = np.asarray(apply_color(jnp.asarray(img), 1.0, 1.0, 1.0))
+    np.testing.assert_allclose(ident, img, rtol=1e-5, atol=1e-3)
