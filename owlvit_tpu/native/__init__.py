@@ -23,8 +23,16 @@ _tried = False
 
 def build(force: bool = False) -> str | None:
     if os.path.exists(_SO) and not force:
-        if not force and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        # a shipped .so WITHOUT the src tree is still usable (matches
+        # build_image's contract; getmtime on the absent source raised
+        # FileNotFoundError here and broke lib()'s "None -> Python
+        # fallback" contract for every caller)
+        if not os.path.exists(_SRC):
             return _SO
+        if os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+            return _SO
+    if not os.path.exists(_SRC):
+        return _SO if os.path.exists(_SO) else None
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)

@@ -30,6 +30,10 @@
 
 namespace {
 
+// Decode-bomb guard: refuse images whose HEADER declares more pixels than
+// any real photo (100 MP). Untrusted dimensions otherwise size allocations.
+constexpr size_t kMaxPixels = 100000000ULL;
+
 // ------------------------------------------------------------------ resize
 // Pillow Resample.c semantics, 8 bits per channel.
 
@@ -196,6 +200,14 @@ bool decode_jpeg(const unsigned char* buf, size_t len,
     jpeg_start_decompress(&cinfo);
     *w = cinfo.output_width;
     *h = cinfo.output_height;
+    if (*w <= 0 || *h <= 0 || (size_t)*w * (size_t)*h > kMaxPixels) {
+        // untrusted header dimensions: a crafted file can declare
+        // 500000x500000 and drive a ~750 GB allocation — refuse instead
+        // (the caller's PIL fallback enforces its own decompression-bomb
+        // limits). 100 MP covers any real photo.
+        jpeg_destroy_decompress(&cinfo);
+        return false;
+    }
     rgb.resize((size_t)*w * *h * 3);
     while (cinfo.output_scanline < cinfo.output_height) {
         unsigned char* row = &rgb[(size_t)cinfo.output_scanline * *w * 3];
@@ -254,6 +266,10 @@ bool decode_png(const unsigned char* buf, size_t len,
 
     *w = png_get_image_width(png, info);
     *h = png_get_image_height(png, info);
+    if (*w <= 0 || *h <= 0 || (size_t)*w * (size_t)*h > kMaxPixels) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        return false;  // crafted-header bomb; see decode_jpeg
+    }
     rgb.resize((size_t)*w * *h * 3);
     std::vector<png_bytep> rows(*h);
     for (int y = 0; y < *h; y++) rows[y] = &rgb[(size_t)y * *w * 3];
@@ -332,8 +348,15 @@ int owlvit_decode_resize_batch(const char* const* paths, int n, int out_size,
             if (i >= n) return;
             int w = 0, h = 0;
             ok[i] = 0;
-            if (!decode_file(paths[i], rgb, &w, &h)) continue;
-            resize_bicubic(rgb.data(), h, w, out + (size_t)i * stride, out_size);
+            // a C++ exception escaping a std::thread is std::terminate —
+            // one corrupt file must fail its slot, not the whole process
+            try {
+                if (!decode_file(paths[i], rgb, &w, &h)) continue;
+                resize_bicubic(rgb.data(), h, w, out + (size_t)i * stride,
+                               out_size);
+            } catch (...) {
+                continue;
+            }
             wh[i * 2 + 0] = w;
             wh[i * 2 + 1] = h;
             ok[i] = 1;
@@ -358,12 +381,18 @@ int owlvit_decode_resize_batch(const char* const* paths, int n, int out_size,
 //        falls back to PIL — e.g. 16-bit PNGs, other formats).
 int owlvit_decode_bytes(const unsigned char* buf, size_t len,
                         unsigned char** out, int* w, int* h) {
-    std::vector<unsigned char> rgb;
-    if (!decode_buffer(buf, len, rgb, w, h)) return 0;
-    *out = (unsigned char*)malloc(rgb.size());
-    if (!*out) return 0;
-    memcpy(*out, rgb.data(), rgb.size());
-    return 1;
+    // no C++ exception may cross the C ABI into ctypes (std::terminate ->
+    // SIGABRT of the serving process; a crafted upload reproduced it)
+    try {
+        std::vector<unsigned char> rgb;
+        if (!decode_buffer(buf, len, rgb, w, h)) return 0;
+        *out = (unsigned char*)malloc(rgb.size());
+        if (!*out) return 0;
+        memcpy(*out, rgb.data(), rgb.size());
+        return 1;
+    } catch (...) {
+        return 0;
+    }
 }
 
 void owlvit_free_buffer(unsigned char* p) { free(p); }

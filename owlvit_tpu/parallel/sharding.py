@@ -40,11 +40,10 @@ def _spec_for(path: str) -> P:
 
 
 def _keypath_str(kp) -> str:
-    parts = []
-    for k in kp:
-        name = getattr(k, "key", None)
-        parts.append(str(name if name is not None else k))
-    return "/" + "/".join(parts)
+    """ONE rendering of tree keypaths (delegates to _kp_keys): param_specs
+    and opt_state_specs must agree on the path format, or a rule touching
+    an indexed/named segment would match in one and not the other."""
+    return "/" + "/".join(_kp_keys(kp))
 
 
 def param_specs(params) -> dict:

@@ -128,8 +128,12 @@ def measure_cached_steady_state(
     row_bytes = acts[0].nbytes
     pool = max(batch, min(max_pool_rows, int(pool_bytes // row_bytes)))
     acts_all = jnp.zeros((pool,) + acts.shape[1:], acts.dtype)
-    acts_all = acts_all.at[:batch].set(acts)
-    idxs = jnp.asarray(rng.integers(0, batch, (batch,), dtype=np.int64))
+    # settle the fill execs, THEN the index put (the r4d relay rule this
+    # file's own fault history taught: never issue a transfer beside an
+    # in-flight exec, and settle every put before the next RPC)
+    acts_all = jax.block_until_ready(acts_all.at[:batch].set(acts))
+    idxs = jax.block_until_ready(
+        jnp.asarray(rng.integers(0, batch, (batch,), dtype=np.int64)))
 
     # pool_gather=False skips this monolithic structure: at L/14 (2 GB pool
     # beside the 24-layer tail grads) it faults the r5-era relay 3/3 — in
@@ -139,18 +143,26 @@ def measure_cached_steady_state(
     # whichever structure is faster, so split alone is recipe-faithful.
     gather_ips = None
     if pool_gather:
-        def gather_step(state, acts_all, idxs, labels, boxes, gt_mask):
-            return tail_step(state, acts_all[idxs], labels, boxes, gt_mask)
+        try:
+            def gather_step(state, acts_all, idxs, labels, boxes, gt_mask):
+                return tail_step(state, acts_all[idxs], labels, boxes,
+                                 gt_mask)
 
-        gstep = jax.jit(gather_step, donate_argnums=(0,))
-        state, loss = gstep(state, acts_all, idxs, la, bo, gm)  # compile
-        jax.block_until_ready(loss)
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, loss = gstep(state, acts_all, idxs, la, bo, gm)
-        jax.block_until_ready(loss)
-        gather_ips = steps * batch / (time.perf_counter() - t0)
-        loss_val = float(loss)
+            gstep = jax.jit(gather_step, donate_argnums=(0,))
+            state, loss = gstep(state, acts_all, idxs, la, bo, gm)  # compile
+            jax.block_until_ready(loss)
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                state, loss = gstep(state, acts_all, idxs, la, bo, gm)
+            jax.block_until_ready(loss)
+            gather_ips = steps * batch / (time.perf_counter() - t0)
+            loss_val = float(loss)
+        except Exception as e:  # noqa: BLE001 — the historically recurring
+            # fault site (bench_cached.py:131 across r4c/r4d/r5 logs); keep
+            # the already-measured resident number and report the fault
+            gather_ips = None
+            print(f"bench_cached: pool-gather phase faulted: "
+                  f"{type(e).__name__}: {e}", flush=True)
 
     # SPLIT gather: the batch gather runs as its OWN tiny program and the
     # tail step takes the gathered acts as a direct arg. Rationale: the

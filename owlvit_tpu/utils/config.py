@@ -184,17 +184,31 @@ def _build(cls, section: dict, name: str):
     coerced = {}
     for k, v in section.items():
         t = hints.get(k)
+        optional = False
         if typing.get_origin(t) is typing.Union:
             args = [a for a in typing.get_args(t) if a is not type(None)]
+            optional = len(args) < len(typing.get_args(t))
             t = args[0] if len(args) == 1 else None
         if t is float and isinstance(v, (int, str)) and not isinstance(v, bool):
             v = float(v)
         elif t is int and isinstance(v, str):
             v = int(v)
         elif t is str and isinstance(v, bool):
-            # tri-state string knobs (e.g. stage_pixels) written as YAML
-            # booleans: map true/false onto their on/off states
-            v = "on" if v else "off"
+            if optional:
+                # Optional[str] fields are PATHS (log_file, checkpoint_dir,
+                # tensorboard_dir, ...): `log_file: false` means "disable",
+                # not a file literally named "off" — map False -> None and
+                # refuse a bare `true` (no sensible path to invent)
+                if v:
+                    raise ValueError(
+                        f"{name}.{k}: `true` is not a path — give a string "
+                        "or `false`/null to disable"
+                    )
+                v = None
+            else:
+                # tri-state string knobs (e.g. stage_pixels) written as
+                # YAML booleans: map true/false onto their on/off states
+                v = "on" if v else "off"
         coerced[k] = v
     return cls(**coerced)
 

@@ -1,34 +1,28 @@
-"""Profiling/tracing: jax.profiler integration + per-step timing.
+"""Per-step timing utilities.
 
 The reference's only instrumentation is tqdm progress bars and a wall-clock
-column (SURVEY §5.1). Here:
-
-  * `trace(logdir)` — context manager around any region; produces a
-    TensorBoard-loadable / Perfetto-loadable XPlane trace via jax.profiler.
-  * `StepTimer` — cheap per-step wall-time tracker with percentile summary
-    (blocks on the device result it is handed, so timings are real).
+column (SURVEY §5.1). Device TRACING does not live here: on the TPU relay,
+`jax.profiler.start/stop_trace` poisons the chip unless tracing is the
+process's ONLY job (CLAUDE.md r2) — capture traces with
+`tools/bench_profile.py` (a dedicated trace-only process) and read them with
+`tools/trace_top_ops.py`; the trainer's `training.profile_dir` knob wraps
+the same calls for the profiling-is-the-job case. A general-purpose trace()
+context manager used to live here; it had no callers and packaged exactly
+the in-process pattern the relay forbids, so it was removed (r5).
 """
 
 from __future__ import annotations
 
-import contextlib
 import time
 
 import jax
 import numpy as np
 
 
-@contextlib.contextmanager
-def trace(logdir: str):
-    """Capture a device trace for the enclosed region."""
-    jax.profiler.start_trace(logdir)
-    try:
-        yield
-    finally:
-        jax.profiler.stop_trace()
-
-
 class StepTimer:
+    """Cheap per-step wall-time tracker with percentile summary (blocks on
+    the device result it is handed, so timings are real)."""
+
     def __init__(self):
         self.durations: list = []
         self._t0 = None

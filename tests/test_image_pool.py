@@ -177,3 +177,47 @@ def test_decode_bytes_matches_pil(tmp_path):
     assert native.decode_bytes(buf.getvalue()) is None  # caller falls to PIL
 
     assert native.decode_bytes(b"definitely not an image") is None
+
+
+def test_decode_bytes_rejects_crafted_dimension_bomb():
+    """A PNG whose header declares absurd dimensions (500000x500000 ≈
+    750 GB RGB) must fail the slot (None -> PIL fallback with its own bomb
+    limits), not std::terminate the serving process — the bad_alloc used
+    to cross the C ABI and SIGABRT on one crafted upload."""
+    import struct
+    import zlib
+
+    from owlvit_tpu import native
+
+    if native.image_lib() is None:
+        pytest.skip("native image library unavailable")
+
+    def chunk(typ, data):
+        c = typ + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", 500000, 500000, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+           + chunk(b"IEND", b""))
+    assert native.decode_bytes(png) is None  # refused, process alive
+
+
+def test_decode_resize_batch_survives_corrupt_file(tmp_path):
+    """One corrupt file in a batch fails its slot (ok=False), never the
+    worker thread / process."""
+    from PIL import Image
+
+    from owlvit_tpu import native
+
+    if native.image_lib() is None:
+        pytest.skip("native image library unavailable")
+    good = str(tmp_path / "good.png")
+    Image.fromarray(np.full((20, 30, 3), 7, np.uint8)).save(good)
+    bad = str(tmp_path / "bad.png")
+    with open(bad, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\nnot really")
+    out, wh, ok = native.decode_resize_batch([good, bad], 16)
+    assert ok.tolist() == [True, False]
+    assert tuple(wh[0]) == (30, 20)
